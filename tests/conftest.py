@@ -1,0 +1,36 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Must run before jax initializes its backend, hence environment variables are
+set at conftest import time. Benchmarks (bench.py) run outside pytest and use
+the real TPU.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def tmp_wav(tmp_path):
+    """Write a 2 s 440 Hz tone WAV and return its path."""
+    from whisper_diarize_tpu.audio import write_wav
+
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    x = (0.3 * np.sin(2 * np.pi * 440.0 * t) * 32767).astype(np.int16)
+    p = tmp_path / "tone.wav"
+    write_wav(str(p), x)
+    return str(p)
