@@ -7,12 +7,18 @@ the real TPU.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The shell presets JAX_PLATFORMS=axon and a site hook re-asserts it, so the
+# env var alone is not enough — use jax.config before any backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

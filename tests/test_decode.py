@@ -1,0 +1,140 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_diarize_tpu.models import whisper as wm
+from whisper_diarize_tpu.ops import decode as dec
+from whisper_diarize_tpu.tokenizer import DebugTokenizer
+
+from tests.test_whisper_model import TINY_TEST_CFG
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = wm.init_params(TINY_TEST_CFG, seed=3)
+    mel = jnp.asarray(
+        np.random.default_rng(4).standard_normal((2, 80, 3000)), jnp.float32
+    )
+    xa = wm.encode(params, mel, TINY_TEST_CFG)
+    tk = DebugTokenizer()
+    return params, xa, tk
+
+
+def _prompt(tk, B):
+    seq = tk.sot_sequence(task="transcribe", language="en")
+    return jnp.asarray(np.tile(np.array(seq, np.int32), (B, 1)))
+
+
+def _check_timestamp_grammar(tokens, lengths, sp):
+    for b in range(tokens.shape[0]):
+        seq = [int(t) for t in tokens[b, : int(lengths[b])]]
+        if not seq:
+            continue
+        # first sampled token must be a timestamp within the 1 s initial cap
+        assert seq[0] >= sp.timestamp_begin
+        assert seq[0] <= sp.timestamp_begin + 50
+        last_ts = None
+        prev_was_ts, prev2_was_ts = False, False
+        for t in seq:
+            is_ts = t >= sp.timestamp_begin
+            if is_ts:
+                if last_ts is not None:
+                    assert t >= last_ts  # monotone
+                last_ts = t
+            if prev_was_ts and prev2_was_ts:
+                assert not is_ts  # after a ts pair, text must follow
+            prev2_was_ts, prev_was_ts = prev_was_ts, is_ts
+
+
+def test_greedy_decode_runs_and_obeys_grammar(setup):
+    params, xa, tk = setup
+    dc = dec.DecodeConfig(max_tokens=16, blank_id=32)
+    res = dec.greedy_decode(
+        params, TINY_TEST_CFG, dc, tk.specials, xa, _prompt(tk, 2), 3
+    )
+    tokens = np.asarray(res.tokens)
+    lengths = np.asarray(res.lengths)
+    assert tokens.shape == (2, 16)
+    assert (lengths >= 0).all() and (lengths <= 16).all()
+    assert np.isfinite(np.asarray(res.avg_logprob)).all()
+    probs = np.asarray(res.token_probs)
+    assert ((probs >= 0) & (probs <= 1)).all()
+    nsp = np.asarray(res.no_speech_prob)
+    assert ((nsp >= 0) & (nsp <= 1)).all()
+    _check_timestamp_grammar(tokens, lengths, tk.specials)
+
+
+def test_greedy_eot_padding(setup):
+    params, xa, tk = setup
+    dc = dec.DecodeConfig(max_tokens=16, blank_id=32)
+    res = dec.greedy_decode(
+        params, TINY_TEST_CFG, dc, tk.specials, xa, _prompt(tk, 2), 3
+    )
+    tokens = np.asarray(res.tokens)
+    lengths = np.asarray(res.lengths)
+    for b in range(2):
+        assert (tokens[b, int(lengths[b]) :] == tk.specials.eot).all()
+
+
+def test_beam1_matches_greedy(setup):
+    params, xa, tk = setup
+    dcg = dec.DecodeConfig(max_tokens=12, blank_id=32)
+    dcb = dec.DecodeConfig(beam_size=1, max_tokens=12, blank_id=32)
+    g = dec.greedy_decode(params, TINY_TEST_CFG, dcg, tk.specials, xa, _prompt(tk, 2), 3)
+    b = dec.beam_decode(params, TINY_TEST_CFG, dcb, tk.specials, xa, _prompt(tk, 2), 3)
+    np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(g.lengths), np.asarray(b.lengths))
+
+
+def test_beam_decode_runs(setup):
+    params, xa, tk = setup
+    dc = dec.DecodeConfig(beam_size=3, max_tokens=12, blank_id=32)
+    res = dec.beam_decode(
+        params, TINY_TEST_CFG, dc, tk.specials, xa, _prompt(tk, 2), 3
+    )
+    tokens = np.asarray(res.tokens)
+    lengths = np.asarray(res.lengths)
+    assert tokens.shape == (2, 12)
+    _check_timestamp_grammar(tokens, lengths, tk.specials)
+    # beam average logprob should be >= greedy's (same model, wider search)
+    dcg = dec.DecodeConfig(max_tokens=12, blank_id=32)
+    g = dec.greedy_decode(params, TINY_TEST_CFG, dcg, tk.specials, xa, _prompt(tk, 2), 3)
+    assert (np.asarray(res.sum_logprob) >= np.asarray(g.sum_logprob) - 1e-3).all()
+
+
+def test_temperature_sampling_differs(setup):
+    params, xa, tk = setup
+    dc = dec.DecodeConfig(max_tokens=12, temperature=1.0, blank_id=32)
+    r1 = dec.greedy_decode(
+        params, TINY_TEST_CFG, dc, tk.specials, xa, _prompt(tk, 2), 3,
+        rng=jax.random.PRNGKey(0),
+    )
+    r2 = dec.greedy_decode(
+        params, TINY_TEST_CFG, dc, tk.specials, xa, _prompt(tk, 2), 3,
+        rng=jax.random.PRNGKey(1),
+    )
+    assert not np.array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+    # grammar still enforced under sampling
+    _check_timestamp_grammar(np.asarray(r1.tokens), np.asarray(r1.lengths), tk.specials)
+
+
+def test_detect_language(setup):
+    params, xa, tk = setup
+    idx, probs = dec.detect_language(params, TINY_TEST_CFG, tk.specials, xa)
+    assert idx.shape == (2,)
+    assert probs.shape == (2, 99)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-5)
+
+
+def test_suppress_mask(setup):
+    tk = DebugTokenizer()
+    mask = dec.build_suppress_mask(tk.specials, tk.n_vocab)
+    sp = tk.specials
+    assert mask[sp.sot] == -np.inf
+    assert mask[sp.no_timestamps] == -np.inf
+    assert mask[sp.translate] == -np.inf
+    assert mask[sp.language_token("de")] == -np.inf
+    assert mask[sp.eot] == 0.0  # eot must stay sampleable
+    assert mask[100] == 0.0  # text tokens stay
+    assert mask[sp.timestamp_begin] == 0.0  # timestamps stay

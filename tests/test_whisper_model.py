@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_diarize_tpu.models import whisper as wm
+
+
+TINY_TEST_CFG = wm.WhisperConfig(
+    n_mels=80, n_vocab=51865,
+    n_audio_ctx=1500, n_audio_state=64, n_audio_head=2, n_audio_layer=2,
+    n_text_ctx=448, n_text_state=64, n_text_head=2, n_text_layer=2,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return wm.init_params(TINY_TEST_CFG, seed=0)
+
+
+@pytest.fixture(scope="module")
+def xa(params):
+    mel = jnp.asarray(np.random.default_rng(1).standard_normal((2, 80, 3000)), jnp.float32)
+    return wm.encode(params, mel, TINY_TEST_CFG)
+
+
+def test_presets_cover_reference_models():
+    # the models the reference's DTW preset map names (`transcribe.rs:117-129`)
+    for name in ["tiny.en", "tiny", "base.en", "base", "small.en", "small",
+                 "medium.en", "medium", "large-v3", "large-v3-turbo"]:
+        assert name in wm.PRESETS
+        assert name in wm.ALIGNMENT_HEADS
+    assert wm.PRESETS["large-v3"].n_mels == 128
+    assert wm.PRESETS["large-v3"].n_vocab == 51866
+    assert wm.PRESETS["large-v3-turbo"].n_text_layer == 4
+    assert wm.PRESETS["base.en"].multilingual is False
+    assert wm.PRESETS["tiny"].n_audio_state == 384
+
+
+def test_alignment_heads_fallback_to_small():
+    cfg = wm.PRESETS["base"]
+    heads = wm.alignment_heads_for("not-a-model", cfg)
+    # small preset clamped to base's 6 layers / 8 heads
+    assert heads and all(l < 6 and h < 8 for l, h in heads)
+
+
+def test_encode_shape(xa):
+    assert xa.shape == (2, 1500, 64)
+    assert np.isfinite(np.asarray(xa)).all()
+
+
+def test_incremental_decode_matches_teacher_forced(params, xa):
+    """Prefill + per-token cached steps must equal the nocache forward."""
+    cfg = TINY_TEST_CFG
+    rng = np.random.default_rng(2)
+    S = 7
+    tokens = jnp.asarray(rng.integers(0, 50000, (2, S)), jnp.int32)
+
+    ref_logits = wm.decoder_forward_nocache(params, cfg, tokens, xa)
+
+    cache = wm.init_self_cache(cfg, 2, xa.dtype)
+    cc = wm.cross_kv(params, xa, cfg)
+    # prefill first 4 tokens, then 3 single steps
+    logits_a, cache = wm.decode_step(params, cfg, tokens[:, :4], jnp.int32(0), cache, cc)
+    outs = [logits_a]
+    for i in range(4, S):
+        logits_i, cache = wm.decode_step(
+            params, cfg, tokens[:, i : i + 1], jnp.int32(i), cache, cc
+        )
+        outs.append(logits_i)
+    inc_logits = jnp.concatenate(outs, axis=1)
+
+    np.testing.assert_allclose(
+        np.asarray(inc_logits), np.asarray(ref_logits), atol=2e-3, rtol=1e-3
+    )
+
+
+def test_alignment_cross_attn(params, xa):
+    cfg = TINY_TEST_CFG
+    tokens = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+    heads = [(0, 1), (1, 0)]
+    w = wm.alignment_cross_attn(params, cfg, tokens, xa, heads)
+    assert w.shape == (2, 2, 4, 1500)
+    # softmax rows sum to 1
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_detect_language_logits(params, xa):
+    logits = wm.detect_language_logits(params, TINY_TEST_CFG, xa, sot_id=50258)
+    assert logits.shape == (2, 51865)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_sinusoids():
+    pos = wm.sinusoids(1500, 64)
+    assert pos.shape == (1500, 64)
+    np.testing.assert_allclose(pos[0, :32], 0.0, atol=1e-7)  # sin(0)
+    np.testing.assert_allclose(pos[0, 32:], 1.0, atol=1e-7)  # cos(0)

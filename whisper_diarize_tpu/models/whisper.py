@@ -1,0 +1,495 @@
+"""Whisper encoder-decoder, built TPU-first in functional JAX.
+
+Replaces whisper.cpp + ggml (the reference consumes them via FFI at
+`/root/reference/src/transcribe.rs:389`; capability inventory in SURVEY.md
+§2.4): log-mel frontend (in `ops/mel.py`), encoder/decoder inference,
+KV-cached greedy/beam decoding (in `ops/decode.py`), DTW word alignment over
+cross-attention heads (in `ops/dtw.py`), language identification, the
+translate-to-English task and initial-prompt conditioning.
+
+Design notes (why this is not a port):
+* Parameters live in a nested pytree with **all transformer layers stacked
+  on a leading axis**, so the forward pass is a single `jax.lax.scan` over
+  layers — one compiled layer body regardless of depth (32 layers for
+  large-v3), fast to compile and trivially shardable with `pjit` (stacked
+  weights get a `PartitionSpec(None, ..., "model")` in `parallel/mesh.py`).
+* Everything is static-shape: mel is always [B, n_mels, 3000], the decoder
+  runs against a fixed-size KV cache [L, B, H, 448, Dh] indexed by a scalar
+  position, so the whole decode loop stays on-device under `lax.while_loop`.
+* Matmuls run in the params' dtype (bfloat16 on TPU) with f32 accumulation
+  (`preferred_element_type`); layer norms compute in f32.
+* A separate unrolled teacher-forced pass (`alignment_cross_attn`) captures
+  only the checkpoint's DTW alignment heads instead of materializing all
+  L×H cross-attention maps (whisper.cpp keeps whole-layer QKs; selecting
+  heads statically keeps HBM traffic minimal).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int
+    n_vocab: int
+    n_audio_ctx: int
+    n_audio_state: int
+    n_audio_head: int
+    n_audio_layer: int
+    n_text_ctx: int
+    n_text_state: int
+    n_text_head: int
+    n_text_layer: int
+    multilingual: bool = True
+    num_languages: int = 99
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_audio_state // self.n_audio_head
+
+
+def _cfg(state, head, enc_layers, dec_layers, mels=80, vocab=51865,
+         multilingual=True, num_languages=99) -> WhisperConfig:
+    return WhisperConfig(
+        n_mels=mels, n_vocab=vocab,
+        n_audio_ctx=1500, n_audio_state=state, n_audio_head=head,
+        n_audio_layer=enc_layers,
+        n_text_ctx=448, n_text_state=state, n_text_head=head,
+        n_text_layer=dec_layers,
+        multilingual=multilingual, num_languages=num_languages,
+    )
+
+
+# Checkpoint presets; dims match the ggml models the reference downloads
+# (`model_manager.rs:162`: ggml-{tiny..large-v3-turbo}.bin).
+PRESETS: Dict[str, WhisperConfig] = {
+    "tiny": _cfg(384, 6, 4, 4),
+    "tiny.en": _cfg(384, 6, 4, 4, vocab=51864, multilingual=False),
+    "base": _cfg(512, 8, 6, 6),
+    "base.en": _cfg(512, 8, 6, 6, vocab=51864, multilingual=False),
+    "small": _cfg(768, 12, 12, 12),
+    "small.en": _cfg(768, 12, 12, 12, vocab=51864, multilingual=False),
+    "medium": _cfg(1024, 16, 24, 24),
+    "medium.en": _cfg(1024, 16, 24, 24, vocab=51864, multilingual=False),
+    "large-v1": _cfg(1280, 20, 32, 32),
+    "large-v2": _cfg(1280, 20, 32, 32),
+    "large-v3": _cfg(1280, 20, 32, 32, mels=128, vocab=51866, num_languages=100),
+    "large-v3-turbo": _cfg(1280, 20, 32, 4, mels=128, vocab=51866, num_languages=100),
+}
+
+# DTW alignment heads (layer, head) per checkpoint — the same presets
+# whisper.cpp selects at `src/transcribe.rs:117-129` via DtwModelPreset.
+# Public constants from whisper.cpp/openai-whisper.
+ALIGNMENT_HEADS: Dict[str, List[Tuple[int, int]]] = {
+    "tiny.en": [(1, 0), (2, 0), (2, 5), (3, 0), (3, 1), (3, 2), (3, 3), (3, 4)],
+    "tiny": [(2, 2), (3, 0), (3, 2), (3, 3), (3, 4), (3, 5)],
+    "base.en": [(3, 3), (4, 7), (5, 1), (5, 5), (6, 1), (6, 6), (7, 0), (7, 1)],
+    "base": [(3, 1), (4, 2), (4, 3), (4, 7), (5, 1), (5, 2), (5, 4), (5, 6)],
+    "small.en": [(6, 6), (7, 0), (7, 3), (7, 8), (8, 2), (8, 5), (8, 7), (9, 0),
+                 (9, 4), (9, 8), (9, 10), (10, 0), (10, 1), (10, 2), (10, 3),
+                 (10, 6), (10, 11), (11, 2), (11, 4)],
+    "small": [(5, 3), (5, 9), (8, 0), (8, 4), (8, 7), (8, 8), (9, 0), (9, 7),
+              (9, 9), (10, 5)],
+    "medium.en": [(11, 4), (14, 1), (14, 12), (14, 14), (15, 4), (16, 0),
+                  (16, 4), (16, 9), (17, 12), (17, 14), (18, 7), (18, 10),
+                  (18, 15), (20, 0), (20, 3), (20, 9), (20, 14), (21, 12)],
+    "medium": [(13, 15), (15, 4), (15, 15), (16, 1), (20, 0), (23, 4)],
+    "large-v1": [(9, 19), (11, 2), (11, 4), (11, 17), (22, 7), (22, 11),
+                 (22, 17), (23, 2), (23, 15)],
+    "large-v2": [(10, 12), (13, 17), (16, 11), (16, 12), (16, 13), (17, 15),
+                 (17, 16), (18, 4), (18, 11), (18, 19), (19, 11), (21, 2),
+                 (21, 3), (22, 3), (22, 9), (22, 12), (23, 5), (23, 7),
+                 (23, 13), (25, 5), (26, 1), (26, 12), (27, 15)],
+    "large-v3": [(7, 0), (10, 17), (12, 18), (13, 12), (16, 1), (17, 14),
+                 (19, 11), (21, 4), (24, 1), (25, 6)],
+    "large-v3-turbo": [(2, 4), (2, 11), (3, 3), (3, 6), (3, 11), (3, 14)],
+}
+
+
+def alignment_heads_for(model_name: str, cfg: WhisperConfig) -> List[Tuple[int, int]]:
+    """Alignment-head preset with the reference's fallback-to-Small behavior
+    (`transcribe.rs:128`: unknown model names default to the Small preset) —
+    clamped to the actual layer/head counts."""
+    heads = ALIGNMENT_HEADS.get(model_name, ALIGNMENT_HEADS["small"])
+    return [
+        (l, h) for (l, h) in heads
+        if l < cfg.n_text_layer and h < cfg.n_text_head
+    ] or [(cfg.n_text_layer - 1, 0)]
+
+
+def sinusoids(length: int, channels: int) -> np.ndarray:
+    """Encoder positional sinusoids (computed, not learned)."""
+    assert channels % 2 == 0
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Initialization
+# --------------------------------------------------------------------------
+
+def init_params(cfg: WhisperConfig, seed: int = 0, dtype=jnp.float32) -> Params:
+    """Random-init parameter pytree with the stacked-layer layout.
+
+    Linear weights are stored [in, out] (x @ w). Real checkpoints are loaded
+    into the same layout by `models/weights.py`.
+    """
+    rng = np.random.default_rng(seed)
+    d = cfg.n_audio_state
+    dt = cfg.n_text_state
+
+    def lin(n_in, n_out, scale=None):
+        scale = scale if scale is not None else (n_in ** -0.5)
+        return (rng.standard_normal((n_in, n_out)) * scale).astype(np.float32)
+
+    def enc_blocks(L):
+        return {
+            "ln1_s": np.ones((L, d), np.float32), "ln1_b": np.zeros((L, d), np.float32),
+            "q_w": np.stack([lin(d, d) for _ in range(L)]), "q_b": np.zeros((L, d), np.float32),
+            "k_w": np.stack([lin(d, d) for _ in range(L)]),
+            "v_w": np.stack([lin(d, d) for _ in range(L)]), "v_b": np.zeros((L, d), np.float32),
+            "o_w": np.stack([lin(d, d) for _ in range(L)]), "o_b": np.zeros((L, d), np.float32),
+            "ln2_s": np.ones((L, d), np.float32), "ln2_b": np.zeros((L, d), np.float32),
+            "fc1_w": np.stack([lin(d, 4 * d) for _ in range(L)]), "fc1_b": np.zeros((L, 4 * d), np.float32),
+            "fc2_w": np.stack([lin(4 * d, d) for _ in range(L)]), "fc2_b": np.zeros((L, d), np.float32),
+        }
+
+    def dec_blocks(L):
+        return {
+            "ln1_s": np.ones((L, dt), np.float32), "ln1_b": np.zeros((L, dt), np.float32),
+            "q_w": np.stack([lin(dt, dt) for _ in range(L)]), "q_b": np.zeros((L, dt), np.float32),
+            "k_w": np.stack([lin(dt, dt) for _ in range(L)]),
+            "v_w": np.stack([lin(dt, dt) for _ in range(L)]), "v_b": np.zeros((L, dt), np.float32),
+            "o_w": np.stack([lin(dt, dt) for _ in range(L)]), "o_b": np.zeros((L, dt), np.float32),
+            "ln2_s": np.ones((L, dt), np.float32), "ln2_b": np.zeros((L, dt), np.float32),
+            "cq_w": np.stack([lin(dt, dt) for _ in range(L)]), "cq_b": np.zeros((L, dt), np.float32),
+            "ck_w": np.stack([lin(dt, dt) for _ in range(L)]),
+            "cv_w": np.stack([lin(dt, dt) for _ in range(L)]), "cv_b": np.zeros((L, dt), np.float32),
+            "co_w": np.stack([lin(dt, dt) for _ in range(L)]), "co_b": np.zeros((L, dt), np.float32),
+            "ln3_s": np.ones((L, dt), np.float32), "ln3_b": np.zeros((L, dt), np.float32),
+            "fc1_w": np.stack([lin(dt, 4 * dt) for _ in range(L)]), "fc1_b": np.zeros((L, 4 * dt), np.float32),
+            "fc2_w": np.stack([lin(4 * dt, dt) for _ in range(L)]), "fc2_b": np.zeros((L, dt), np.float32),
+        }
+
+    params = {
+        "encoder": {
+            "conv1_w": (rng.standard_normal((3, cfg.n_mels, d)) * (3 * cfg.n_mels) ** -0.5).astype(np.float32),
+            "conv1_b": np.zeros((d,), np.float32),
+            "conv2_w": (rng.standard_normal((3, d, d)) * (3 * d) ** -0.5).astype(np.float32),
+            "conv2_b": np.zeros((d,), np.float32),
+            "pos": sinusoids(cfg.n_audio_ctx, d),
+            "blocks": enc_blocks(cfg.n_audio_layer),
+            "ln_post_s": np.ones((d,), np.float32),
+            "ln_post_b": np.zeros((d,), np.float32),
+        },
+        "decoder": {
+            "tok_emb": (rng.standard_normal((cfg.n_vocab, dt)) * dt ** -0.5).astype(np.float32),
+            "pos_emb": (rng.standard_normal((cfg.n_text_ctx, dt)) * 0.01).astype(np.float32),
+            "blocks": dec_blocks(cfg.n_text_layer),
+            "ln_s": np.ones((dt,), np.float32),
+            "ln_b": np.zeros((dt,), np.float32),
+        },
+    }
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+
+
+def cast_params(params: Params, dtype) -> Params:
+    return jax.tree.map(lambda a: a.astype(dtype), params)
+
+
+# --------------------------------------------------------------------------
+# Primitives
+# --------------------------------------------------------------------------
+
+def _ln(x: jnp.ndarray, s: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * s.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    """[B, T, D] -> [B, H, T, Dh]"""
+    B, T, D = x.shape
+    return x.reshape(B, T, n_head, D // n_head).transpose(0, 2, 1, 3)
+
+
+def _unheads(x: jnp.ndarray) -> jnp.ndarray:
+    B, H, T, Dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
+
+
+def _attn(q, k, v, mask=None):
+    """q,k,v: [B, H, T, Dh] -> [B, H, Tq, Dh], softmax in f32."""
+    scale = q.shape[-1] ** -0.25
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k * scale, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        logits = logits + mask
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
+    """mel [B, n_mels, 3000] -> audio states [B, 1500, d]."""
+    enc = params["encoder"]
+    dtype = enc["conv1_w"].dtype
+    x = jnp.swapaxes(mel.astype(dtype), -1, -2)  # [B, T, n_mels]
+
+    # conv stem: k=3 s=1 gelu, then k=3 s=2 gelu ("IOW" kernel layout)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv1_w"], window_strides=(1,), padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype) + enc["conv1_b"]
+    x = jax.nn.gelu(x)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2_w"], window_strides=(2,), padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype) + enc["conv2_b"]
+    x = jax.nn.gelu(x)
+
+    x = x + enc["pos"].astype(dtype)
+
+    H = cfg.n_audio_head
+
+    def layer(x, blk):
+        h = _ln(x, blk["ln1_s"], blk["ln1_b"])
+        q = _heads(h @ blk["q_w"] + blk["q_b"], H)
+        k = _heads(h @ blk["k_w"], H)
+        v = _heads(h @ blk["v_w"] + blk["v_b"], H)
+        x = x + _unheads(_attn(q, k, v)) @ blk["o_w"] + blk["o_b"]
+        h = _ln(x, blk["ln2_s"], blk["ln2_b"])
+        h = jax.nn.gelu(h @ blk["fc1_w"] + blk["fc1_b"])
+        x = x + h @ blk["fc2_w"] + blk["fc2_b"]
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, enc["blocks"])
+    return _ln(x, enc["ln_post_s"], enc["ln_post_b"])
+
+
+# --------------------------------------------------------------------------
+# Decoder with KV cache
+# --------------------------------------------------------------------------
+
+def init_self_cache(cfg: WhisperConfig, batch: int, dtype) -> Dict[str, jnp.ndarray]:
+    L, H, T, Dh = cfg.n_text_layer, cfg.n_text_head, cfg.n_text_ctx, cfg.head_dim
+    z = jnp.zeros((L, batch, H, T, Dh), dtype)
+    return {"k": z, "v": z}
+
+
+def cross_kv(params: Params, xa: jnp.ndarray, cfg: WhisperConfig) -> Dict[str, jnp.ndarray]:
+    """Precompute cross-attention K/V for all layers: [L, B, H, Ta, Dh]."""
+    dec = params["decoder"]["blocks"]
+    H = cfg.n_text_head
+
+    def one(blk_ck_w, blk_cv_w, blk_cv_b):
+        k = _heads(xa @ blk_ck_w, H)
+        v = _heads(xa @ blk_cv_w + blk_cv_b, H)
+        return k, v
+
+    k, v = jax.vmap(one)(dec["ck_w"], dec["cv_w"], dec["cv_b"])
+    return {"k": k, "v": v}
+
+
+def decode_step(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # [B, S] int32
+    pos_offset: jnp.ndarray,  # scalar int32: index of tokens[:, 0]
+    self_cache: Dict[str, jnp.ndarray],
+    cross_cache: Dict[str, jnp.ndarray],
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Run S tokens through the decoder against a fixed-size KV cache.
+
+    Used both for the prompt prefill (S = prompt length) and the sampling
+    loop (S = 1). Returns (logits [B, S, V] f32, updated self_cache).
+    """
+    dec = params["decoder"]
+    dtype = dec["tok_emb"].dtype
+    B, S = tokens.shape
+    H = cfg.n_text_head
+    Tc = cfg.n_text_ctx
+
+    pos = pos_offset + jnp.arange(S)
+    x = dec["tok_emb"][tokens] + dec["pos_emb"][pos][None, :, :].astype(dtype)
+
+    # mask over cache positions: query i (absolute pos_offset+i) may attend
+    # to cache slots <= pos_offset+i (the new keys are written first).
+    kpos = jnp.arange(Tc)[None, :]
+    qpos = pos[:, None]
+    mask = jnp.where(kpos <= qpos, 0.0, -jnp.inf).astype(jnp.float32)  # [S, Tc]
+
+    def layer(carry, blk_and_cross):
+        x, = carry
+        blk, ck, cv, layer_idx = blk_and_cross
+        h = _ln(x, blk["ln1_s"], blk["ln1_b"])
+        q = _heads(h @ blk["q_w"] + blk["q_b"], H)
+        k_new = _heads(h @ blk["k_w"], H)
+        v_new = _heads(h @ blk["v_w"] + blk["v_b"], H)
+        # write new K/V into this layer's cache slice at pos_offset
+        k_cache = jax.lax.dynamic_update_slice(
+            blk["k_cache"], k_new, (0, 0, pos_offset, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            blk["v_cache"], v_new, (0, 0, pos_offset, 0)
+        )
+        x = x + _unheads(_attn(q, k_cache, v_cache, mask[None, None])) @ blk["o_w"] + blk["o_b"]
+        # cross-attention against the precomputed audio K/V
+        h = _ln(x, blk["ln2_s"], blk["ln2_b"])
+        cq = _heads(h @ blk["cq_w"] + blk["cq_b"], H)
+        x = x + _unheads(_attn(cq, ck, cv)) @ blk["co_w"] + blk["co_b"]
+        # mlp
+        h = _ln(x, blk["ln3_s"], blk["ln3_b"])
+        h = jax.nn.gelu(h @ blk["fc1_w"] + blk["fc1_b"])
+        x = x + h @ blk["fc2_w"] + blk["fc2_b"]
+        return (x,), (k_cache, v_cache)
+
+    blocks = dict(dec["blocks"])
+    blocks["k_cache"] = self_cache["k"]
+    blocks["v_cache"] = self_cache["v"]
+    L = cfg.n_text_layer
+    (x,), (k_caches, v_caches) = jax.lax.scan(
+        layer, (x,), (blocks, cross_cache["k"], cross_cache["v"], jnp.arange(L))
+    )
+    x = _ln(x, dec["ln_s"], dec["ln_b"])
+    logits = jnp.einsum(
+        "bsd,vd->bsv", x, dec["tok_emb"], preferred_element_type=jnp.float32
+    )
+    return logits, {"k": k_caches, "v": v_caches}
+
+
+def decoder_forward_nocache(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # [B, S]
+    xa: jnp.ndarray,  # [B, Ta, D]
+) -> jnp.ndarray:
+    """Teacher-forced decoder pass without a cache (training / scoring).
+
+    Returns logits [B, S, V] f32.
+    """
+    dec = params["decoder"]
+    dtype = dec["tok_emb"].dtype
+    B, S = tokens.shape
+    H = cfg.n_text_head
+
+    x = dec["tok_emb"][tokens] + dec["pos_emb"][:S][None].astype(dtype)
+    causal = jnp.where(
+        jnp.arange(S)[None, :] <= jnp.arange(S)[:, None], 0.0, -jnp.inf
+    ).astype(jnp.float32)
+
+    def layer(x, blk):
+        h = _ln(x, blk["ln1_s"], blk["ln1_b"])
+        q = _heads(h @ blk["q_w"] + blk["q_b"], H)
+        k = _heads(h @ blk["k_w"], H)
+        v = _heads(h @ blk["v_w"] + blk["v_b"], H)
+        x = x + _unheads(_attn(q, k, v, causal[None, None])) @ blk["o_w"] + blk["o_b"]
+        h = _ln(x, blk["ln2_s"], blk["ln2_b"])
+        cq = _heads(h @ blk["cq_w"] + blk["cq_b"], H)
+        ck = _heads(xa @ blk["ck_w"], H)
+        cv = _heads(xa @ blk["cv_w"] + blk["cv_b"], H)
+        x = x + _unheads(_attn(cq, ck, cv)) @ blk["co_w"] + blk["co_b"]
+        h = _ln(x, blk["ln3_s"], blk["ln3_b"])
+        h = jax.nn.gelu(h @ blk["fc1_w"] + blk["fc1_b"])
+        x = x + h @ blk["fc2_w"] + blk["fc2_b"]
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, dec["blocks"])
+    x = _ln(x, dec["ln_s"], dec["ln_b"])
+    return jnp.einsum("bsd,vd->bsv", x, dec["tok_emb"], preferred_element_type=jnp.float32)
+
+
+def alignment_cross_attn(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # [B, S]
+    xa: jnp.ndarray,  # [B, Ta, D]
+    heads: List[Tuple[int, int]],
+) -> jnp.ndarray:
+    """Teacher-forced pass capturing cross-attention of the DTW alignment
+    heads only. Returns [B, K, S, Ta] f32 attention weights (softmaxed).
+
+    Unrolled over layers (not scanned) so head selection is static — only
+    the K needed attention maps are ever materialized.
+    """
+    dec = params["decoder"]
+    dtype = dec["tok_emb"].dtype
+    B, S = tokens.shape
+    H = cfg.n_text_head
+    Dh = cfg.head_dim
+
+    by_layer: Dict[int, List[int]] = {}
+    for (l, h) in heads:
+        by_layer.setdefault(l, []).append(h)
+
+    x = dec["tok_emb"][tokens] + dec["pos_emb"][:S][None].astype(dtype)
+    causal = jnp.where(
+        jnp.arange(S)[None, :] <= jnp.arange(S)[:, None], 0.0, -jnp.inf
+    ).astype(jnp.float32)
+
+    blocks = dec["blocks"]
+    captured: List[Tuple[Tuple[int, int], jnp.ndarray]] = []
+    for l in range(cfg.n_text_layer):
+        blk = jax.tree.map(lambda a: a[l], blocks)
+        h_ = _ln(x, blk["ln1_s"], blk["ln1_b"])
+        q = _heads(h_ @ blk["q_w"] + blk["q_b"], H)
+        k = _heads(h_ @ blk["k_w"], H)
+        v = _heads(h_ @ blk["v_w"] + blk["v_b"], H)
+        x = x + _unheads(_attn(q, k, v, causal[None, None])) @ blk["o_w"] + blk["o_b"]
+
+        h_ = _ln(x, blk["ln2_s"], blk["ln2_b"])
+        cq = _heads(h_ @ blk["cq_w"] + blk["cq_b"], H)
+        ck = _heads(xa @ blk["ck_w"], H)
+        cv = _heads(xa @ blk["cv_w"] + blk["cv_b"], H)
+        if l in by_layer:
+            scale = Dh ** -0.25
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", cq * scale, ck * scale,
+                preferred_element_type=jnp.float32,
+            )
+            w = jax.nn.softmax(logits, axis=-1)  # [B, H, S, Ta] f32
+            for hd in by_layer[l]:
+                captured.append(((l, hd), w[:, hd]))
+        x = x + _unheads(_attn(cq, ck, cv)) @ blk["co_w"] + blk["co_b"]
+
+        h_ = _ln(x, blk["ln3_s"], blk["ln3_b"])
+        h_ = jax.nn.gelu(h_ @ blk["fc1_w"] + blk["fc1_b"])
+        x = x + h_ @ blk["fc2_w"] + blk["fc2_b"]
+
+    # order captured maps to match `heads`
+    order = {lh: i for i, (lh, _) in enumerate(captured)}
+    maps = [captured[order[lh]][1] for lh in heads]
+    return jnp.stack(maps, axis=1)  # [B, K, S, Ta]
+
+
+def detect_language_logits(
+    params: Params, cfg: WhisperConfig, xa: jnp.ndarray, sot_id: int
+) -> jnp.ndarray:
+    """One decoder step from <|startoftranscript|>; returns [B, V] f32 logits
+    (mask language tokens downstream). Mirrors whisper.cpp's
+    `full_lang_id_from_state` capability (`transcribe.rs:392-395`)."""
+    B = xa.shape[0]
+    tokens = jnp.full((B, 1), sot_id, jnp.int32)
+    cache = init_self_cache(cfg, B, xa.dtype)
+    cc = cross_kv(params, xa, cfg)
+    logits, _ = decode_step(params, cfg, tokens, jnp.int32(0), cache, cc)
+    return logits[:, 0]

@@ -1,0 +1,536 @@
+"""KV-cached Whisper decoding loops: greedy (with temperature/best-of) and
+beam search — entirely on-device under `lax.while_loop`.
+
+Replaces whisper.cpp's sampling loop (consumed by the reference through
+`state.full`, `/root/reference/src/transcribe.rs:389`) and its strategy knobs
+(`transcribe.rs:20-46`): BeamSearch{beam_size, patience} default with
+best_of/beam_size default 5 clamped to >=1 (`transcribe.rs:22`), opt-in
+greedy with temperature (`transcribe.rs:25-33,59-68`), `suppress_blank`
+(`transcribe.rs:44`), token timestamps (`transcribe.rs:45`) and
+single-segment decoding (`transcribe.rs:46`).
+
+TPU-first design notes:
+* Fixed shapes everywhere: the token buffer is [B, n_text_ctx], the KV cache
+  [L, B, H, n_text_ctx, Dh]; a scalar step index walks them. No host<->device
+  traffic inside the loop.
+* Whisper's timestamp grammar (monotonic timestamps, pair rule, initial
+  timestamp cap, timestamp-vs-text probability rule) is enforced with
+  vectorized masks computed from O(1) loop-carried state per stream, not by
+  re-scanning the token buffer.
+* Beam search folds beams into the batch axis ([B*K]) so every step is one
+  big MXU-friendly batch; cache reindexing after top-k is a gather on the
+  batch axis.
+* The whole loop runs per 30 s window over a batch of streams — the batch
+  axis is the data-parallel axis that `parallel/mesh.py` shards over chips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import whisper as wm
+from ..tokenizer import SpecialTokens
+
+NEG_INF = float("-inf")
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    """Static decode configuration (hashable: used as a jit static arg)."""
+
+    beam_size: int = 5  # beams for beam search / best_of for sampling
+    temperature: float = 0.0
+    max_tokens: int = 224  # max sampled tokens per window (<= 448 - prompt)
+    suppress_blank: bool = True  # `transcribe.rs:44`
+    with_timestamps: bool = True
+    max_initial_timestamp: float = 1.0  # seconds; openai-whisper default
+    patience: float = 1.0  # beam search patience (whisper.cpp -1 => default 1.0)
+    length_penalty: Optional[float] = None  # None => avg logprob ranking
+    blank_id: int = 220  # " " token ("Ġ" in the BPE vocab; 32 for DebugTokenizer)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DecodeResult:
+    """Per-stream decode output (device arrays; fixed shapes)."""
+
+    tokens: jnp.ndarray  # [B, max_tokens] int32, eot-padded
+    lengths: jnp.ndarray  # [B] int32, number of valid tokens (pre-eot)
+    sum_logprob: jnp.ndarray  # [B] f32
+    avg_logprob: jnp.ndarray  # [B] f32 (includes the eot step, like whisper)
+    token_probs: jnp.ndarray  # [B, max_tokens] f32 — per-token softmax prob
+    no_speech_prob: jnp.ndarray  # [B] f32 — P(<|nospeech|>) at the sot step
+
+
+def build_suppress_mask(
+    sp: SpecialTokens, n_vocab: int, extra_suppress: Optional[List[int]] = None
+) -> np.ndarray:
+    """Static additive mask [V]: -inf at always-suppressed tokens.
+
+    Mirrors whisper's special-token suppression: task/lang/sot/prev/lm/
+    nospeech/notimestamps tokens are never sampled.
+    """
+    mask = np.zeros((n_vocab,), np.float32)
+    always = [sp.sot, sp.sot_lm, sp.sot_prev, sp.no_speech, sp.no_timestamps,
+              sp.translate, sp.transcribe]
+    always += [sp.sot + 1 + i for i in range(sp.num_languages)]
+    for t in always:
+        if t < n_vocab:
+            mask[t] = NEG_INF
+    for t in extra_suppress or []:
+        if t < n_vocab:
+            mask[t] = NEG_INF
+    return mask
+
+
+def _timestamp_rule_mask(
+    logits: jnp.ndarray,  # [N, V] f32
+    sp: SpecialTokens,
+    step: jnp.ndarray,  # scalar: sampled-token index (0 = first sample)
+    last_was_ts: jnp.ndarray,  # [N] bool
+    penult_was_ts: jnp.ndarray,  # [N] bool
+    max_ts_tok: jnp.ndarray,  # [N] int32 — highest timestamp token sampled
+    ts_seen: jnp.ndarray,  # [N] bool — any timestamp sampled yet
+    max_initial_ts_idx: int,
+) -> jnp.ndarray:
+    """Apply whisper's timestamp grammar, returning masked logits."""
+    V = logits.shape[-1]
+    ids = jnp.arange(V)
+    is_ts = ids >= sp.timestamp_begin
+
+    # pair rule: after <ts> <ts> force text; after lone <ts> force <ts>/eot
+    force_text = last_was_ts & penult_was_ts
+    force_ts = last_was_ts & (~penult_was_ts)
+    m = jnp.where(force_text[:, None] & is_ts[None, :], NEG_INF, 0.0)
+    is_text = ids < sp.eot
+    m = m + jnp.where(force_ts[:, None] & is_text[None, :], NEG_INF, 0.0)
+
+    # monotonicity: when completing a <ts> pair the end may equal the start;
+    # otherwise the next timestamp must strictly increase (openai-whisper's
+    # ApplyTimestampRules semantics)
+    strict = ~(last_was_ts & ~penult_was_ts)
+    min_allowed = jnp.where(
+        ts_seen, max_ts_tok + strict.astype(jnp.int32), sp.timestamp_begin
+    )
+    too_small = is_ts[None, :] & (ids[None, :] < min_allowed[:, None])
+    m = m + jnp.where(too_small, NEG_INF, 0.0)
+
+    # first sampled token must be a timestamp, capped at max_initial_timestamp
+    init_cap = sp.timestamp_begin + max_initial_ts_idx
+    first = step == 0
+    first_mask = jnp.where(
+        (~is_ts & (ids != sp.eot)) | (ids > init_cap), NEG_INF, 0.0
+    )
+    m = m + jnp.where(first, first_mask[None, :], 0.0)
+
+    logits = logits + m
+
+    # probability rule: if sum P(timestamps) > max P(text), force a timestamp
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_logprob = jax.nn.logsumexp(
+        jnp.where(is_ts[None, :], logprobs, NEG_INF), axis=-1
+    )
+    max_text = jnp.max(jnp.where(is_ts[None, :], NEG_INF, logprobs), axis=-1)
+    force = ts_logprob > max_text
+    logits = jnp.where(
+        force[:, None] & (~is_ts[None, :]) & (ids[None, :] != sp.eot),
+        NEG_INF,
+        logits,
+    )
+    return logits
+
+
+def _prepare_logits(
+    raw_logits: jnp.ndarray,  # [N, V]
+    suppress_mask: jnp.ndarray,  # [V]
+    sp: SpecialTokens,
+    dc: DecodeConfig,
+    step: jnp.ndarray,
+    last_was_ts, penult_was_ts, max_ts_tok, ts_seen,
+) -> jnp.ndarray:
+    logits = raw_logits + suppress_mask[None, :]
+    if dc.suppress_blank:
+        # at the first sampled position, suppress " " and eot
+        blank_ids = jnp.array([dc.blank_id, sp.eot], jnp.int32)
+        blank_mask = jnp.zeros_like(logits).at[:, blank_ids].set(NEG_INF)
+        logits = jnp.where(step == 0, logits + blank_mask, logits)
+    if dc.with_timestamps:
+        logits = _timestamp_rule_mask(
+            logits, sp, step, last_was_ts, penult_was_ts, max_ts_tok, ts_seen,
+            int(round(dc.max_initial_timestamp / 0.02)),
+        )
+    else:
+        ids = jnp.arange(logits.shape[-1])
+        logits = jnp.where(ids[None, :] >= sp.timestamp_begin, NEG_INF, logits)
+    return logits
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "dc", "sp", "prompt_len", "sot_pos")
+)
+def greedy_decode(
+    params: Dict[str, Any],
+    cfg: wm.WhisperConfig,
+    dc: DecodeConfig,
+    sp: SpecialTokens,
+    xa: jnp.ndarray,  # [B, Ta, D] encoded audio
+    prompt: jnp.ndarray,  # [B, P] int32 (sot sequence, possibly with prev-text)
+    prompt_len: int,
+    rng: Optional[jnp.ndarray] = None,  # PRNG key when temperature > 0
+    suppress_mask: Optional[jnp.ndarray] = None,  # [V]
+    sot_pos: int = 0,  # index of <|startoftranscript|> within the prompt
+) -> DecodeResult:
+    """Greedy / temperature sampling with a KV cache under lax.while_loop."""
+    B = xa.shape[0]
+    V = cfg.n_vocab
+    sp_ts_begin = sp.timestamp_begin
+    max_steps = min(dc.max_tokens, cfg.n_text_ctx - prompt_len - 1)
+
+    if suppress_mask is None:
+        suppress_mask = jnp.asarray(build_suppress_mask(sp, V))
+
+    cross_cache = wm.cross_kv(params, xa, cfg)
+    cache = wm.init_self_cache(cfg, B, xa.dtype)
+
+    # prefill the prompt
+    logits_all, cache = wm.decode_step(
+        params, cfg, prompt, jnp.int32(0), cache, cross_cache
+    )
+    first_logits = logits_all[:, -1]  # [B, V]
+    # no-speech prob is read from the logits produced right after consuming
+    # <|startoftranscript|>
+    sot_logits = logits_all[:, sot_pos]
+    no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, sp.no_speech]
+
+    tokens_buf = jnp.full((B, max_steps), sp.eot, jnp.int32)
+    probs_buf = jnp.zeros((B, max_steps), jnp.float32)
+
+    init = dict(
+        step=jnp.int32(0),
+        logits=first_logits,
+        cache=cache,
+        tokens=tokens_buf,
+        probs=probs_buf,
+        sum_logprob=jnp.zeros((B,), jnp.float32),
+        length=jnp.zeros((B,), jnp.int32),
+        finished=jnp.zeros((B,), bool),
+        last_was_ts=jnp.zeros((B,), bool),
+        penult_was_ts=jnp.zeros((B,), bool),
+        max_ts_tok=jnp.full((B,), sp_ts_begin, jnp.int32),
+        ts_seen=jnp.zeros((B,), bool),
+        rng=rng if rng is not None else jax.random.PRNGKey(0),
+    )
+
+    def cond(s):
+        return (s["step"] < max_steps) & (~jnp.all(s["finished"]))
+
+    def body(s):
+        logits = _prepare_logits(
+            s["logits"], suppress_mask, sp, dc, s["step"],
+            s["last_was_ts"], s["penult_was_ts"], s["max_ts_tok"], s["ts_seen"],
+        )
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        if dc.temperature > 0:
+            key, sub = jax.random.split(s["rng"])
+            next_tok = jax.random.categorical(
+                sub, logits / dc.temperature, axis=-1
+            ).astype(jnp.int32)
+        else:
+            key = s["rng"]
+            next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        tok_logprob = jnp.take_along_axis(
+            logprobs, next_tok[:, None], axis=-1
+        )[:, 0]
+        tok_prob = jnp.exp(tok_logprob)
+
+        was_finished = s["finished"]
+        next_tok = jnp.where(was_finished, sp.eot, next_tok)
+        now_finished = was_finished | (next_tok == sp.eot)
+
+        tokens = s["tokens"].at[:, s["step"]].set(next_tok)
+        probs = s["probs"].at[:, s["step"]].set(
+            jnp.where(was_finished, 0.0, tok_prob)
+        )
+        # whisper adds the eot step's logprob once
+        sum_logprob = s["sum_logprob"] + jnp.where(was_finished, 0.0, tok_logprob)
+        length = s["length"] + jnp.where(now_finished, 0, 1)
+
+        is_ts = next_tok >= sp_ts_begin
+        new_state = dict(
+            step=s["step"] + 1,
+            cache=s["cache"],
+            tokens=tokens,
+            probs=probs,
+            sum_logprob=sum_logprob,
+            length=length,
+            finished=now_finished,
+            last_was_ts=jnp.where(was_finished, s["last_was_ts"], is_ts),
+            penult_was_ts=jnp.where(was_finished, s["penult_was_ts"], s["last_was_ts"]),
+            max_ts_tok=jnp.where(
+                is_ts & ~was_finished,
+                jnp.maximum(s["max_ts_tok"], next_tok),
+                s["max_ts_tok"],
+            ),
+            ts_seen=s["ts_seen"] | (is_ts & ~was_finished),
+            rng=key,
+        )
+        step_logits, new_cache = wm.decode_step(
+            params, cfg, next_tok[:, None],
+            prompt_len + s["step"], s["cache"], cross_cache,
+        )
+        new_state["cache"] = new_cache
+        new_state["logits"] = step_logits[:, 0]
+        return new_state
+
+    final = jax.lax.while_loop(cond, body, init)
+    length = final["length"]
+    # avg logprob normalizes by length + 1 (the eot), matching openai-whisper
+    avg = final["sum_logprob"] / jnp.maximum(length + 1, 1).astype(jnp.float32)
+    return DecodeResult(
+        tokens=final["tokens"],
+        lengths=length,
+        sum_logprob=final["sum_logprob"],
+        avg_logprob=avg,
+        token_probs=final["probs"],
+        no_speech_prob=no_speech_prob,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "dc", "sp", "prompt_len", "sot_pos")
+)
+def beam_decode(
+    params: Dict[str, Any],
+    cfg: wm.WhisperConfig,
+    dc: DecodeConfig,
+    sp: SpecialTokens,
+    xa: jnp.ndarray,  # [B, Ta, D]
+    prompt: jnp.ndarray,  # [B, P]
+    prompt_len: int,
+    suppress_mask: Optional[jnp.ndarray] = None,
+    sot_pos: int = 0,
+) -> DecodeResult:
+    """Beam search (beam_size K) folded into the batch axis.
+
+    Finished hypotheses are kept in fixed-size per-stream slots; active beams
+    continue until every stream has K finished hypotheses or max_tokens is
+    reached. Final selection is by avg-logprob (sum/(len+1)), whisper's
+    default ranking.
+    """
+    B = xa.shape[0]
+    K = dc.beam_size
+    V = cfg.n_vocab
+    N = B * K
+    max_steps = min(dc.max_tokens, cfg.n_text_ctx - prompt_len - 1)
+
+    if suppress_mask is None:
+        suppress_mask = jnp.asarray(build_suppress_mask(sp, V))
+
+    # replicate streams K times: [B, ...] -> [B*K, ...]
+    def rep(x):
+        return jnp.repeat(x, K, axis=0)
+
+    xa_k = rep(xa)
+    cross_cache = wm.cross_kv(params, xa_k, cfg)
+    cache = wm.init_self_cache(cfg, N, xa.dtype)
+    logits_all, cache = wm.decode_step(
+        params, cfg, rep(prompt), jnp.int32(0), cache, cross_cache
+    )
+    first_logits = logits_all[:, -1]
+    sot_logits = logits_all[:, sot_pos]
+    no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, sp.no_speech]
+    no_speech_prob = no_speech_prob.reshape(B, K)[:, 0]
+
+    init = dict(
+        step=jnp.int32(0),
+        logits=first_logits,  # [N, V]
+        cache=cache,
+        tokens=jnp.full((N, max_steps), sp.eot, jnp.int32),
+        probs=jnp.zeros((N, max_steps), jnp.float32),
+        # beam 0 starts at 0, the rest at -inf so the first expansion
+        # doesn't produce K duplicates
+        scores=jnp.tile(
+            jnp.concatenate([jnp.zeros((1,)), jnp.full((K - 1,), NEG_INF)])[None, :],
+            (B, 1),
+        ).reshape(N),
+        length=jnp.zeros((N,), jnp.int32),
+        last_was_ts=jnp.zeros((N,), bool),
+        penult_was_ts=jnp.zeros((N,), bool),
+        max_ts_tok=jnp.full((N,), sp.timestamp_begin, jnp.int32),
+        ts_seen=jnp.zeros((N,), bool),
+        # finished slots per stream
+        fin_tokens=jnp.full((B, K, max_steps), sp.eot, jnp.int32),
+        fin_probs=jnp.zeros((B, K, max_steps), jnp.float32),
+        fin_scores=jnp.full((B, K), NEG_INF, jnp.float32),
+        fin_lengths=jnp.zeros((B, K), jnp.int32),
+        fin_count=jnp.zeros((B,), jnp.int32),
+    )
+
+    n_fin_target = int(np.ceil(K * dc.patience)) if dc.patience > 0 else K
+    n_fin_target = min(n_fin_target, K)
+
+    def cond(s):
+        return (s["step"] < max_steps) & ~jnp.all(s["fin_count"] >= n_fin_target)
+
+    def body(s):
+        logits = _prepare_logits(
+            s["logits"], suppress_mask, sp, dc, s["step"],
+            s["last_was_ts"], s["penult_was_ts"], s["max_ts_tok"], s["ts_seen"],
+        )
+        logprobs = jax.nn.log_softmax(logits, axis=-1)  # [N, V]
+        cand = s["scores"][:, None] + logprobs  # [N, V]
+        cand = cand.reshape(B, K * V)
+
+        # 2K expansion so EOT candidates can retire without starving beams
+        topv, topi = jax.lax.top_k(cand, 2 * K)  # [B, 2K]
+        beam_idx = topi // V  # [B, 2K] source beam
+        tok_idx = (topi % V).astype(jnp.int32)
+
+        is_eot = tok_idx == sp.eot
+
+        # --- retire EOT candidates into finished slots (at most one per step
+        # per slot; loop over K slots statically)
+        fin_scores, fin_tokens, fin_probs, fin_lengths, fin_count = (
+            s["fin_scores"], s["fin_tokens"], s["fin_probs"],
+            s["fin_lengths"], s["fin_count"],
+        )
+        src_flat = (jnp.arange(B)[:, None] * K + beam_idx).astype(jnp.int32)  # [B, 2K]
+        for slot in range(K):
+            # best unretired EOT candidate this step
+            cand_score = jnp.where(is_eot, topv, NEG_INF)  # [B, 2K]
+            best = jnp.argmax(cand_score, axis=-1)  # [B]
+            best_score = jnp.take_along_axis(cand_score, best[:, None], 1)[:, 0]
+            has = jnp.isfinite(best_score) & (fin_count < K)
+            bsrc = jnp.take_along_axis(src_flat, best[:, None], 1)[:, 0]  # [B]
+            cand_tokens = s["tokens"][bsrc]  # [B, T]
+            cand_probsb = s["probs"][bsrc]
+            cand_len = s["length"][bsrc]
+            w = fin_count  # write position
+            fin_tokens = jnp.where(
+                has[:, None, None] & (jnp.arange(K)[None, :, None] == w[:, None, None]),
+                cand_tokens[:, None, :], fin_tokens,
+            )
+            fin_probs = jnp.where(
+                has[:, None, None] & (jnp.arange(K)[None, :, None] == w[:, None, None]),
+                cand_probsb[:, None, :], fin_probs,
+            )
+            fin_scores = jnp.where(
+                has[:, None] & (jnp.arange(K)[None, :] == w[:, None]),
+                best_score[:, None], fin_scores,
+            )
+            fin_lengths = jnp.where(
+                has[:, None] & (jnp.arange(K)[None, :] == w[:, None]),
+                cand_len[:, None], fin_lengths,
+            )
+            fin_count = fin_count + has.astype(jnp.int32)
+            # remove the retired candidate from this step's pool
+            is_eot = is_eot & (jnp.arange(2 * K)[None, :] != best[:, None]) | (
+                is_eot & ~has[:, None]
+            )
+
+        # --- keep top-K non-EOT candidates as the new active beams
+        active_score = jnp.where(tok_idx == sp.eot, NEG_INF, topv)
+        keepv, keepi = jax.lax.top_k(active_score, K)  # [B, K]
+        new_tok = jnp.take_along_axis(tok_idx, keepi, 1).reshape(N)
+        new_src = jnp.take_along_axis(src_flat, keepi, 1).reshape(N)
+        new_scores = keepv.reshape(N)
+
+        tok_logprob = new_scores - s["scores"][new_src]
+        tok_prob = jnp.exp(tok_logprob)
+
+        tokens = s["tokens"][new_src].at[:, s["step"]].set(new_tok)
+        probs = s["probs"][new_src].at[:, s["step"]].set(tok_prob)
+        length = s["length"][new_src] + 1
+        is_ts = new_tok >= sp.timestamp_begin
+
+        # reindex the KV cache to the surviving beams (gather on batch axis)
+        cache = jax.tree.map(lambda a: a[:, new_src], s["cache"])
+
+        step_logits, cache = wm.decode_step(
+            params, cfg, new_tok[:, None], prompt_len + s["step"], cache, cross_cache
+        )
+
+        return dict(
+            step=s["step"] + 1,
+            logits=step_logits[:, 0],
+            cache=cache,
+            tokens=tokens,
+            probs=probs,
+            scores=new_scores,
+            length=length,
+            last_was_ts=is_ts,
+            penult_was_ts=s["last_was_ts"][new_src],
+            max_ts_tok=jnp.where(
+                is_ts, jnp.maximum(s["max_ts_tok"][new_src], new_tok),
+                s["max_ts_tok"][new_src],
+            ),
+            ts_seen=s["ts_seen"][new_src] | is_ts,
+            fin_tokens=fin_tokens,
+            fin_probs=fin_probs,
+            fin_scores=fin_scores,
+            fin_lengths=fin_lengths,
+            fin_count=fin_count,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # streams with no finished hypothesis fall back to their best active beam
+    act_scores = final["scores"].reshape(B, K)
+    act_best = jnp.argmax(act_scores, axis=-1)
+    act_tokens = final["tokens"].reshape(B, K, -1)
+    act_probs = final["probs"].reshape(B, K, -1)
+    act_lengths = final["length"].reshape(B, K)
+
+    def pick(fin_arr, act_arr, fin_count, act_idx, fin_idx):
+        a = jnp.take_along_axis(
+            fin_arr, fin_idx.reshape((B,) + (1,) * (fin_arr.ndim - 1)), 1
+        )[:, 0]
+        b = jnp.take_along_axis(
+            act_arr, act_idx.reshape((B,) + (1,) * (act_arr.ndim - 1)), 1
+        )[:, 0]
+        has_fin = (fin_count > 0).reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(has_fin, a, b)
+
+    # rank finished hypotheses by avg logprob (sum / (len+1))
+    fin_avg = final["fin_scores"] / jnp.maximum(
+        final["fin_lengths"] + 1, 1
+    ).astype(jnp.float32)
+    fin_best = jnp.argmax(fin_avg, axis=-1)
+
+    tokens = pick(final["fin_tokens"], act_tokens, final["fin_count"], act_best, fin_best)
+    probs = pick(final["fin_probs"], act_probs, final["fin_count"], act_best, fin_best)
+    lengths = pick(final["fin_lengths"], act_lengths, final["fin_count"], act_best, fin_best)
+    sum_lp = pick(final["fin_scores"], act_scores, final["fin_count"], act_best, fin_best)
+    avg = sum_lp / jnp.maximum(lengths + 1, 1).astype(jnp.float32)
+
+    return DecodeResult(
+        tokens=tokens,
+        lengths=lengths,
+        sum_logprob=sum_lp,
+        avg_logprob=avg,
+        token_probs=probs,
+        no_speech_prob=no_speech_prob,
+    )
+
+
+def detect_language(
+    params: Dict[str, Any],
+    cfg: wm.WhisperConfig,
+    sp: SpecialTokens,
+    xa: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Language ID: one decoder step from <|sot|>, softmax over language
+    tokens only. Returns (lang_index [B], probs [B, num_languages]).
+    Mirrors `full_lang_id_from_state` (`transcribe.rs:392-395`)."""
+    logits = wm.detect_language_logits(params, cfg, xa, sp.sot)  # [B, V]
+    lang_ids = jnp.arange(sp.num_languages) + (sp.sot + 1)
+    lang_logits = logits[:, lang_ids]
+    probs = jax.nn.softmax(lang_logits, axis=-1)
+    return jnp.argmax(lang_logits, axis=-1), probs
