@@ -1,0 +1,139 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from whisper_diarize_tpu.ops import dtw as dtw_ops
+from whisper_diarize_tpu.transcribe import (
+    interpolate_word_timestamps,
+    is_whole_control_token,
+    token_spans,
+)
+
+
+def _reference_dtw_cost(x):
+    """Naive O(NM) python DP for cross-checking the scan implementation."""
+    N, M = x.shape
+    c = np.full((N, M), np.inf)
+    c[0] = np.cumsum(x[0])
+    for i in range(1, N):
+        for j in range(M):
+            best = c[i - 1, j]
+            if j > 0:
+                best = min(best, c[i - 1, j - 1], c[i, j - 1])
+            c[i, j] = x[i, j] + best
+    return c
+
+
+def test_dtw_cost_matrix_matches_naive():
+    rng = np.random.default_rng(0)
+    x = rng.random((12, 20)).astype(np.float32)
+    ours = np.asarray(dtw_ops.dtw_cost_matrix(jnp.asarray(x)))
+    ref = _reference_dtw_cost(x)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_dtw_path_identity_diagonal():
+    # strongly diagonal cost: path should be the diagonal
+    N = 8
+    x = np.ones((N, N), np.float32) * 10
+    np.fill_diagonal(x, 0.0)
+    ti, tj = dtw_ops.dtw_path(x)
+    assert ti[0] == 0 and tj[0] == 0
+    assert ti[-1] == N - 1 and tj[-1] == N - 1
+    on_diag = [(a, b) for a, b in zip(ti, tj) if a == b]
+    assert len(on_diag) == N
+
+
+def test_dtw_path_monotone():
+    rng = np.random.default_rng(1)
+    x = rng.random((10, 30)).astype(np.float32)
+    ti, tj = dtw_ops.dtw_path(x)
+    assert (np.diff(ti) >= 0).all()
+    assert (np.diff(tj) >= 0).all()
+    assert (np.diff(ti) + np.diff(tj) > 0).all()
+
+
+def test_median_filter():
+    x = jnp.asarray([[1.0, 100.0, 2.0, 3.0, 4.0, -50.0, 5.0]])
+    y = np.asarray(dtw_ops.median_filter(x, 3))
+    assert y.shape == x.shape
+    assert y[0, 1] == 2.0  # spike removed
+    assert y[0, 5] == 4.0
+
+
+def test_token_anchor_times_synthetic():
+    """Attention concentrated on a moving diagonal -> anchors increase."""
+    S, Ta = 6, 100
+    attn = np.full((2, S, Ta), 1e-4, np.float32)
+    centers = [5, 20, 35, 50, 65, 80]
+    for s, c in enumerate(centers):
+        attn[:, s, c - 2 : c + 3] = 1.0
+    attn /= attn.sum(-1, keepdims=True)
+    anchors = dtw_ops.token_anchor_times(attn, Ta)
+    assert anchors.shape == (S,)
+    assert (np.diff(anchors) > 0).all()
+    # each token's onset lies between its predecessor's attention center and
+    # its own (between bands the costs tie, so the path may enter a row
+    # early; row 0 is always entered at t=0 since the path starts at (0,0))
+    for s, c in list(enumerate(centers))[1:]:
+        assert centers[s - 1] * 0.02 <= anchors[s] <= c * 0.02 + 0.06, (
+            s, anchors[s], c * 0.02,
+        )
+
+
+def test_token_anchor_times_respects_frame_mask():
+    """With only half the frames valid, anchors stay inside the valid range."""
+    S, Ta = 4, 100
+    attn = np.full((1, S, Ta), 1.0 / Ta, np.float32)
+    # attention mass in the padded half only -> must be ignored
+    attn[:, :, 80:] = 10.0
+    attn /= attn.sum(-1, keepdims=True)
+    anchors = dtw_ops.token_anchor_times(attn, 50)
+    assert (anchors <= 50 * 0.02 + 1e-6).all()
+
+
+def test_interpolate_word_timestamps():
+    ws = interpolate_word_timestamps("hello big world", 1.0, 4.0)
+    assert [w.text for w in ws] == ["hello", "big", "world"]
+    assert ws[0].start == 1.0
+    assert ws[-1].end == 4.0
+    # weights 5,3,5 over 3.0 s
+    assert ws[0].end == pytest.approx(1.0 + 3.0 * 5 / 13)
+    assert ws[1].end == pytest.approx(1.0 + 3.0 * 8 / 13)
+    # punctuation-only words weigh 1
+    ws2 = interpolate_word_timestamps("a -", 0.0, 1.0)
+    assert ws2[0].end == pytest.approx(0.5)
+    assert interpolate_word_timestamps("", 0.0, 1.0) == []
+    assert interpolate_word_timestamps("x", 1.0, 1.0) == []
+
+
+def test_is_whole_control_token():
+    assert is_whole_control_token("[_BEG_]")
+    assert is_whole_control_token("[_TT_320]")
+    assert is_whole_control_token("  [_SOT_] ")
+    assert not is_whole_control_token("[_]")
+    assert not is_whole_control_token("[BEG]")
+    assert not is_whole_control_token("hello")
+    assert not is_whole_control_token("[_lower_]")
+
+
+def test_token_spans_midpoint_rule():
+    texts = ["a", "b", "c"]
+    probs = [0.9, 0.8, 0.7]
+    anchors = [1.0, 2.0, 4.0]
+    t0s = [0.0, 0.0, 0.0]
+    t1s = [9.0, 9.0, 9.0]
+    spans = token_spans(texts, probs, anchors, t0s, t1s)
+    # first token start falls back to t0 (no left anchor)
+    assert spans[0].start == 0.0
+    assert spans[0].end == pytest.approx(1.5)
+    assert spans[1].start == pytest.approx(1.5)
+    assert spans[1].end == pytest.approx(3.0)
+    assert spans[2].start == pytest.approx(3.0)
+    assert spans[2].end == 9.0  # no right anchor -> t1
+
+
+def test_token_spans_no_anchors_fallback():
+    spans = token_spans(["x", "y"], [0.5, 0.5], [None, None], [0.0, 1.0], [1.0, 2.0])
+    assert spans[0].start == 0.0 and spans[0].end == 1.0
+    assert spans[1].start == 1.0 and spans[1].end == 2.0

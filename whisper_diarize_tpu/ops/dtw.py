@@ -1,0 +1,173 @@
+"""DTW word-timestamp alignment over cross-attention, TPU-first.
+
+Replaces whisper.cpp's DTW machinery (enabled by the reference at
+`/root/reference/src/transcribe.rs:115-136` with per-model alignment-head
+presets, consumed per token as `t_dtw` at `transcribe.rs:273-306`).
+
+Pipeline (openai-whisper `find_alignment` semantics, re-derived):
+  1. take post-softmax cross-attention of the checkpoint's alignment heads
+     for the final token sequence (one teacher-forced pass,
+     `models/whisper.py::alignment_cross_attn`),
+  2. per (head, frame) column: standardize over tokens (mean/std),
+  3. median-filter along the frame axis (width 7),
+  4. average heads → cost matrix [S_text, T_frames],
+  5. monotonic DTW through -cost; a token's anchor time is the first frame
+     its row is entered (a "jump"), at 20 ms per encoder frame.
+
+TPU-native detail: the DTW DP recurrence
+    c[i,j] = x[i,j] + min(c[i-1,j], c[i-1,j-1], c[i,j-1])
+is sequential in j, but each row is a *min-plus linear recurrence*:
+    c[j] = min(a[j], x[j] + c[j-1]),  a[j] = x[j] + min(c_prev[j], c_prev[j-1])
+whose function composition is associative — so each row is a
+`jax.lax.associative_scan` and the whole matrix is a `lax.scan` over rows.
+The O(N+M) backtrack walks the (small, ~2.7 MB max) cost matrix on the host.
+The DTW memory model the reference exposes (`utils.rs:3-49`) is kept as
+`utils.calculate_dtw_mem_size` for API parity; this implementation needs
+only the N×M f32 cost matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FRAME_SECONDS = 0.02  # one encoder position = 2 mel frames = 20 ms
+
+
+def median_filter(x: jnp.ndarray, width: int = 7) -> jnp.ndarray:
+    """Median filter along the last axis with edge replication."""
+    if width <= 1:
+        return x
+    pad = width // 2
+    xp = jnp.concatenate(
+        [jnp.repeat(x[..., :1], pad, -1), x, jnp.repeat(x[..., -1:], pad, -1)],
+        axis=-1,
+    )
+    idx = jnp.arange(x.shape[-1])[:, None] + jnp.arange(width)[None, :]
+    windows = xp[..., idx]  # [..., T, width]
+    return jnp.median(windows, axis=-1)
+
+
+@jax.jit
+def dtw_cost_matrix(x: jnp.ndarray) -> jnp.ndarray:
+    """Accumulated-cost matrix for monotonic DTW over x [N, M] (f32).
+
+    Row recurrence solved with an associative min-plus scan; rows iterated
+    with lax.scan. Boundary: c[0, j] = prefix-sum along row 0 (only "left"
+    moves available), c[i, 0] = column prefix-sum.
+    """
+    x = x.astype(jnp.float32)
+    N, M = x.shape
+
+    def combine(f, g):
+        # function h(v) = min(a, s + v); compose g∘f
+        a_f, s_f = f
+        a_g, s_g = g
+        return jnp.minimum(a_g, s_g + a_f), s_g + s_f
+
+    def row_step(c_prev, x_row):
+        # b[j] = min(c_prev[j], c_prev[j-1]); b[0] uses +inf on the left
+        shifted = jnp.concatenate([jnp.full((1,), jnp.inf), c_prev[:-1]])
+        b = jnp.minimum(c_prev, shifted)
+        a = x_row + b
+        # scan elements are functions (a[j], x[j]) acting on the running cost
+        A, S = jax.lax.associative_scan(combine, (a, x_row))
+        # c[j] = min(a[j], x[j] + c[j-1]) with c[-1] = +inf → c = A
+        return A, A
+
+    row0 = jnp.cumsum(x[0])
+    _, rows = jax.lax.scan(row_step, row0, x[1:])
+    return jnp.concatenate([row0[None], rows], axis=0)
+
+
+def dtw_backtrack(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Walk the accumulated-cost matrix from (N-1, M-1) back to (0, 0).
+
+    Returns (text_indices, time_indices) of every cell on the optimal path,
+    in forward order. Ties prefer the diagonal (match), then up, then left.
+    """
+    N, M = cost.shape
+    i, j = N - 1, M - 1
+    ti, tj = [i], [j]
+    while i > 0 or j > 0:
+        if i == 0:
+            j -= 1
+        elif j == 0:
+            i -= 1
+        else:
+            diag = cost[i - 1, j - 1]
+            up = cost[i - 1, j]
+            left = cost[i, j - 1]
+            m = min(diag, up, left)
+            if m == diag:
+                i -= 1
+                j -= 1
+            elif m == up:
+                i -= 1
+            else:
+                j -= 1
+        ti.append(i)
+        tj.append(j)
+    return np.array(ti[::-1], np.int64), np.array(tj[::-1], np.int64)
+
+
+def dtw_path(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Full DTW (device DP + host backtrack) over a cost matrix [N, M]."""
+    cost = np.asarray(dtw_cost_matrix(jnp.asarray(x)))
+    return dtw_backtrack(cost)
+
+
+@functools.partial(jax.jit, static_argnames=("medfilt_width",))
+def alignment_cost(
+    attn: jnp.ndarray,  # [K, S, Ta] post-softmax alignment-head attention
+    n_frames: jnp.ndarray,  # scalar int: valid encoder frames (audio_len/320)
+    medfilt_width: int = 7,
+) -> jnp.ndarray:
+    """Normalize + filter + head-average attention into a DTW cost [S, Ta].
+
+    Frames beyond `n_frames` are masked out before normalization so padded
+    audio does not attract the alignment path.
+    """
+    K, S, Ta = attn.shape
+    frame_ok = jnp.arange(Ta)[None, None, :] < n_frames
+    w = jnp.where(frame_ok, attn, 0.0)
+    mean = jnp.mean(w, axis=1, keepdims=True)
+    std = jnp.std(w, axis=1, keepdims=True)
+    w = (w - mean) / jnp.maximum(std, 1e-9)
+    w = median_filter(w, medfilt_width)
+    matrix = jnp.mean(w, axis=0)  # [S, Ta]
+    return -matrix
+
+
+def token_anchor_times(
+    attn: np.ndarray,  # [K, S, Ta]
+    n_frames: int,
+    medfilt_width: int = 7,
+) -> np.ndarray:
+    """Per-token DTW anchor times in seconds (length S).
+
+    anchor[k] = time of the first path cell in token row k — the equivalent
+    of whisper.cpp's per-token `t_dtw` consumed at `transcribe.rs:273-274`.
+    """
+    cost = alignment_cost(jnp.asarray(attn), jnp.int32(n_frames), medfilt_width)
+    # DTW aligns full sequences (it must end at the last column), so padded
+    # frames are sliced off rather than cost-masked
+    cost_np = np.asarray(cost)[:, : max(int(n_frames), 1)]
+    text_idx, time_idx = dtw_path(cost_np)
+    S = attn.shape[1]
+    anchors = np.zeros((S,), np.float64)
+    jumps = np.pad(np.diff(text_idx), (1, 0), constant_values=1).astype(bool)
+    jump_rows = text_idx[jumps]
+    jump_times = time_idx[jumps] * FRAME_SECONDS
+    for r, t in zip(jump_rows, jump_times):
+        anchors[r] = t
+    # rows never entered by a jump (shouldn't happen) inherit previous anchor
+    seen = set(jump_rows.tolist())
+    for k in range(1, S):
+        if k not in seen:
+            anchors[k] = max(anchors[k], anchors[k - 1])
+    return anchors

@@ -1,0 +1,280 @@
+"""Transcription glue: token streams -> word timestamps -> Segments.
+
+Re-implements the behavior of the reference's `src/transcribe.rs` word
+timestamp layer on top of the JAX model/decode/DTW ops:
+
+* `interpolate_word_timestamps` — alnum-length-weighted interpolation for
+  translated text (`transcribe.rs:171-203`),
+* `get_token_timestamps` — per-token spans with the DTW midpoint-bounds rule
+  (`transcribe.rs:273-306`): a token's start is the midpoint of its own and
+  its left neighbor's DTW anchors, its end the midpoint with the right
+  neighbor; tokens without anchors fall back to t0/t1 estimates,
+* control-token filtering (`transcribe.rs:206-240`) — here structural:
+  special ids (>= eot) never decode to text, so the printed-marker stripping
+  whisper.cpp needs is unnecessary; `is_whole_control_token` is kept for
+  input sanitation parity,
+* `TranscribeStep`: one batched model invocation over a window of audio
+  chunks (mel -> encode -> decode -> DTW) used by the Engine's scheduler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import whisper as wm
+from .ops import decode as dec
+from .ops import dtw as dtw_ops
+from .ops.mel import N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram
+from .types import Segment, WordTimestamp
+
+
+def interpolate_word_timestamps(line: str, start: float, end: float) -> List[WordTimestamp]:
+    """Distribute [start, end] across whitespace tokens weighted by their
+    alphanumeric length (`transcribe.rs:171-203`). Used when Whisper's
+    translate task makes token times meaningless for the output text."""
+    dur = max(end - start, 0.0)
+    if dur <= 0.0:
+        return []
+    tokens = [t for t in line.split() if t.strip("\0").strip()]
+    if not tokens:
+        return []
+    weights = [max(sum(c.isalnum() for c in t), 1) for t in tokens]
+    total = sum(weights)
+    if total == 0:
+        return []
+    out: List[WordTimestamp] = []
+    acc = 0
+    for i, tok in enumerate(tokens):
+        t0 = start + (acc / total) * dur
+        t1 = end if i + 1 == len(tokens) else start + ((acc + weights[i]) / total) * dur
+        acc += weights[i]
+        out.append(WordTimestamp(text=tok, start=t0, end=t1, probability=None))
+    return out
+
+
+def is_whole_control_token(s: str) -> bool:
+    """True when `s` is exactly a whisper.cpp-style control marker like
+    "[_BEG_]" or "[_TT_320]" (`transcribe.rs:206-212`). Our decode path never
+    produces these (special ids are filtered before text decode); kept for
+    sanitizing externally-supplied token strings."""
+    t = s.strip("\0").strip()
+    if not (t.startswith("[_") and t.endswith("]")):
+        return False
+    inner = t[2:-1]
+    return bool(inner) and all(c.isupper() or c.isdigit() or c == "_" for c in inner if c.isascii()) and all(c.isascii() for c in inner)
+
+
+def token_spans(
+    texts: Sequence[str],
+    probs: Sequence[float],
+    anchors: Sequence[Optional[float]],
+    t0s: Sequence[float],
+    t1s: Sequence[float],
+) -> List[WordTimestamp]:
+    """Per-token spans via the DTW midpoint rule (`transcribe.rs:291-306`).
+
+    start_i = 0.5*(anchor_{i-1} + anchor_i) when both exist, else t0_i;
+    end_i   = 0.5*(anchor_i + anchor_{i+1}) when both exist, else t1_i.
+    Word grouping is deferred to `formatting.process_segments`, as in the
+    reference (`transcribe.rs:308-319`).
+    """
+    n = len(texts)
+    spans: List[WordTimestamp] = []
+    for i in range(n):
+        a_prev = anchors[i - 1] if i > 0 else None
+        a_here = anchors[i]
+        a_next = anchors[i + 1] if i + 1 < n else None
+        start = 0.5 * (a_prev + a_here) if (a_prev is not None and a_here is not None) else t0s[i]
+        end = 0.5 * (a_here + a_next) if (a_here is not None and a_next is not None) else t1s[i]
+        spans.append(WordTimestamp(text=texts[i], start=start, end=end, probability=probs[i]))
+    return spans
+
+
+@dataclasses.dataclass
+class ChunkResult:
+    """Raw decode output for one audio chunk, in chunk-local time."""
+
+    text: str
+    words: List[WordTimestamp]  # token-level spans (chunk-local seconds)
+    seg_start: float  # from first/last sampled timestamp token
+    seg_end: float
+    avg_logprob: float
+    no_speech_prob: float
+    tokens: List[int]
+
+
+class TranscribeStep:
+    """One batched transcription step: window-of-audio -> ChunkResults.
+
+    Compiles once per (model, batch-size, decode-config) and is reused by the
+    Engine's chunk scheduler. Where the reference loops chunks serially
+    through one whisper.cpp state (`transcribe.rs:376-389`), this runs a
+    whole padded batch of chunks per call — the TPU data-parallel axis.
+    """
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        cfg: wm.WhisperConfig,
+        tokenizer,
+        model_name: str = "",
+        enable_dtw: bool = True,
+        decode_config: Optional[dec.DecodeConfig] = None,
+        strategy: str = "beam_search",
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tk = tokenizer
+        self.sp = tokenizer.specials
+        self.enable_dtw = enable_dtw
+        self.dc = decode_config or dec.DecodeConfig()
+        self.strategy = strategy
+        self.heads = wm.alignment_heads_for(model_name, cfg)
+        self._suppress = jnp.asarray(
+            dec.build_suppress_mask(self.sp, cfg.n_vocab, tokenizer.non_speech_tokens())
+        )
+        self._encode = jax.jit(lambda p, m: wm.encode(p, m, cfg))
+        self._align = jax.jit(
+            lambda p, t, xa: wm.alignment_cross_attn(p, cfg, t, xa, self.heads)
+        )
+
+    # -- model invocations ---------------------------------------------------
+    def mel(self, audio_batch: np.ndarray) -> jnp.ndarray:
+        """[B, N_SAMPLES] float32 -> [B, n_mels, 3000]."""
+        return log_mel_spectrogram(jnp.asarray(audio_batch), n_mels=self.cfg.n_mels)
+
+    def encode(self, mel: jnp.ndarray) -> jnp.ndarray:
+        return self._encode(self.params, mel)
+
+    def decode(
+        self,
+        xa: jnp.ndarray,
+        language: Optional[str],
+        task: str,
+        prev_tokens: Optional[Sequence[int]] = None,
+        rng: Optional[jnp.ndarray] = None,
+    ) -> dec.DecodeResult:
+        B = xa.shape[0]
+        sot_seq = self.tk.sot_sequence(task=task, language=language or "en")
+        prefix: List[int] = []
+        if prev_tokens:
+            keep = self.cfg.n_text_ctx // 2 - 1
+            prefix = [self.sp.sot_prev] + list(prev_tokens)[-keep:]
+        prompt_list = prefix + sot_seq
+        prompt = jnp.asarray(np.tile(np.array(prompt_list, np.int32), (B, 1)))
+        sot_pos = len(prefix)  # index of <|startoftranscript|> in the prompt
+        if self.strategy == "greedy":
+            return dec.greedy_decode(
+                self.params, self.cfg, self.dc, self.sp, xa, prompt,
+                len(prompt_list), rng=rng, suppress_mask=self._suppress,
+                sot_pos=sot_pos,
+            )
+        return dec.beam_decode(
+            self.params, self.cfg, self.dc, self.sp, xa, prompt,
+            len(prompt_list), suppress_mask=self._suppress, sot_pos=sot_pos,
+        )
+
+    def detect_language(self, xa: jnp.ndarray) -> List[str]:
+        idx, _ = dec.detect_language(self.params, self.cfg, self.sp, xa)
+        from .tokenizer import LANGUAGES
+
+        return [LANGUAGES[int(i)] for i in np.asarray(idx)]
+
+    # -- result assembly -----------------------------------------------------
+    def build_chunk_results(
+        self,
+        result: dec.DecodeResult,
+        xa: jnp.ndarray,
+        chunk_samples: Sequence[int],  # valid samples per batch row
+        sot_seq_len: int,
+        translated: bool,
+    ) -> List[ChunkResult]:
+        """Host-side: token ids -> text + token-level word spans per chunk."""
+        tokens = np.asarray(result.tokens)
+        lengths = np.asarray(result.lengths)
+        probs = np.asarray(result.token_probs)
+        avg_lp = np.asarray(result.avg_logprob)
+        nsp = np.asarray(result.no_speech_prob)
+        B = tokens.shape[0]
+
+        # DTW pass (one batched teacher-forced call) on the sampled tokens
+        anchors_all: List[Optional[np.ndarray]] = [None] * B
+        if self.enable_dtw and not translated:
+            max_len = int(lengths.max()) if B else 0
+            if max_len > 0:
+                sot = self.tk.sot_sequence(language="en")  # timing-only pass
+                pad = np.full((B, max_len), self.sp.eot, np.int32)
+                for b in range(B):
+                    pad[b, : lengths[b]] = tokens[b, : lengths[b]]
+                seq = np.concatenate(
+                    [np.tile(np.array(sot, np.int32), (B, 1)), pad], axis=1
+                )
+                attn = np.asarray(self._align(self.params, jnp.asarray(seq), xa))
+                # text rows start after the sot sequence
+                attn_text = attn[:, :, len(sot):, :]
+                for b in range(B):
+                    n_frames = min(
+                        int(np.ceil(chunk_samples[b] / (SAMPLE_RATE * dtw_ops.FRAME_SECONDS))),
+                        self.cfg.n_audio_ctx,
+                    )
+                    anchors_all[b] = dtw_ops.token_anchor_times(
+                        attn_text[b], max(n_frames, 1)
+                    )
+
+        out: List[ChunkResult] = []
+        for b in range(B):
+            n = int(lengths[b])
+            toks = [int(t) for t in tokens[b, :n]]
+            chunk_dur = chunk_samples[b] / SAMPLE_RATE
+
+            ts_values = [
+                self.sp.timestamp_value(t) for t in toks if self.sp.is_timestamp(t)
+            ]
+            seg_start = ts_values[0] if ts_values else 0.0
+            seg_end = ts_values[-1] if len(ts_values) > 1 else chunk_dur
+
+            text_idx = [i for i, t in enumerate(toks) if t < self.sp.eot]
+            texts = [self.tk.decode_token(toks[i]) for i in text_idx]
+            tprobs = [float(probs[b, i]) for i in text_idx]
+
+            # fallback t0/t1: distribute [seg_start, seg_end] over text tokens
+            # weighted by alnum length (the reference falls back to
+            # whisper.cpp's per-token t0/t1; ours derive from the sampled
+            # timestamp tokens)
+            weights = [max(sum(c.isalnum() for c in t), 1) for t in texts]
+            total_w = max(sum(weights), 1)
+            t0s, t1s = [], []
+            acc = 0
+            for w in weights:
+                t0s.append(seg_start + (seg_end - seg_start) * acc / total_w)
+                acc += w
+                t1s.append(seg_start + (seg_end - seg_start) * acc / total_w)
+
+            anchors: List[Optional[float]] = [None] * len(text_idx)
+            if anchors_all[b] is not None:
+                aa = anchors_all[b]
+                anchors = [float(aa[i]) if i < len(aa) else None for i in text_idx]
+
+            words = token_spans(texts, tprobs, anchors, t0s, t1s)
+            # drop empty/whitespace-only token spans (control-token parity,
+            # `transcribe.rs:266-270`)
+            words = [w for w in words if w.text.strip("\0").strip()]
+
+            text = "".join(texts).lstrip()  # whisper's leading space trimmed
+            out.append(
+                ChunkResult(
+                    text=text,
+                    words=words,
+                    seg_start=seg_start,
+                    seg_end=seg_end,
+                    avg_logprob=float(avg_lp[b]),
+                    no_speech_prob=float(nsp[b]),
+                    tokens=toks,
+                )
+            )
+        return out
