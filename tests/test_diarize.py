@@ -1,0 +1,132 @@
+import numpy as np
+import pytest
+
+from whisper_diarize_tpu.diarize import (
+    EmbeddingManager,
+    cosine_similarity,
+    get_segments,
+    spectral_cluster,
+)
+from whisper_diarize_tpu.models import campplus, segmentation
+
+
+def test_segmentation_forward_shapes():
+    params = segmentation.init_params(0)
+    audio = np.random.default_rng(0).standard_normal(
+        (1, segmentation.WINDOW_SAMPLES)
+    ).astype(np.float32) * 0.1
+    lp = np.asarray(segmentation.forward(params, audio))
+    assert lp.shape[0] == 1 and lp.shape[2] == 7
+    assert lp.shape[1] == segmentation.n_out_frames(segmentation.WINDOW_SAMPLES)
+    # log-softmax rows sum to 1 in prob space
+    np.testing.assert_allclose(np.exp(lp).sum(-1), 1.0, atol=1e-5)
+
+
+def test_powerset_to_activity():
+    lp = np.full((1, 4, 7), -10.0)
+    lp[0, 0, 0] = 0.0  # silence
+    lp[0, 1, 1] = 0.0  # s1
+    lp[0, 2, 4] = 0.0  # s1+s2
+    lp[0, 3, 6] = 0.0  # s2+s3
+    act = segmentation.powerset_to_activity(lp)
+    assert act.shape == (1, 4, 3)
+    assert not act[0, 0].any()
+    assert act[0, 1].tolist() == [True, False, False]
+    assert act[0, 2].tolist() == [True, True, False]
+    assert act[0, 3].tolist() == [False, True, True]
+
+
+def test_get_segments_structure():
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(16000 * 12) * 3000).astype(np.int16)
+    segs = get_segments(x, 16000)
+    for s in segs:
+        assert s.end > s.start
+        assert s.samples.dtype == np.int16
+        assert len(s.samples) == pytest.approx((s.end - s.start) * 16000, abs=2)
+    # sorted within the stream
+    starts = [s.start for s in segs]
+    assert starts == sorted(starts)
+
+
+def test_get_segments_rejects_wrong_rate():
+    with pytest.raises(ValueError):
+        get_segments(np.zeros(100, np.int16), 8000)
+
+
+def test_embedding_manager_reference_policy():
+    m = EmbeddingManager(max_speakers=2)
+    e1 = np.array([1.0, 0.0, 0.0])
+    e2 = np.array([0.0, 1.0, 0.0])
+    e3 = np.array([0.9, 0.1, 0.0])
+    # first embedding creates speaker 1
+    assert m.search_speaker(e1, 0.5) == 1
+    # orthogonal embedding creates speaker 2
+    assert m.search_speaker(e2, 0.5) == 2
+    # similar to speaker 1 -> assigned 1, centroid updated
+    assert m.search_speaker(e3, 0.5) == 1
+    assert m.speakers[1].count == 2
+    # at capacity, a dissimilar embedding returns None from search_speaker
+    e4 = np.array([0.0, 0.0, 1.0])
+    assert m.search_speaker(e4, 0.5) is None
+    # ... and the engine switches to get_best_speaker_match
+    assert m.get_best_speaker_match(e4) in (1, 2)
+    assert len(m.get_all_speakers()) == 2
+
+
+def test_embedding_manager_empty():
+    m = EmbeddingManager(max_speakers=0)
+    assert m.search_speaker(np.ones(3), 0.5) is None
+    assert m.get_best_speaker_match(np.ones(3)) is None
+
+
+def test_cosine_similarity():
+    assert cosine_similarity(np.array([1.0, 0]), np.array([1.0, 0])) == pytest.approx(1.0)
+    assert cosine_similarity(np.array([1.0, 0]), np.array([0, 1.0])) == pytest.approx(0.0)
+    assert cosine_similarity(np.zeros(2), np.ones(2)) == 0.0
+
+
+def test_campplus_embedding_shapes():
+    params = campplus.init_params(0)
+    rng = np.random.default_rng(2)
+    seg = (rng.standard_normal(16000) * 3000).astype(np.int16)
+    emb = campplus.compute_embedding(params, seg)
+    assert emb.shape == (campplus.EMB_DIM,)
+    assert np.isfinite(emb).all()
+
+
+def test_campplus_batch_matches_single():
+    params = campplus.init_params(0)
+    rng = np.random.default_rng(3)
+    segs = [
+        (rng.standard_normal(16000) * 3000).astype(np.int16),
+        (rng.standard_normal(8000) * 3000).astype(np.int16),
+    ]
+    batch = campplus.compute_embeddings_batch(params, segs)
+    assert batch.shape == (2, campplus.EMB_DIM)
+    single0 = campplus.compute_embedding(params, segs[0])
+    # padded+masked batch must reproduce the unpadded single-segment result
+    np.testing.assert_allclose(batch[0], single0, rtol=2e-3, atol=2e-3)
+
+
+def test_campplus_short_segment():
+    params = campplus.init_params(0)
+    emb = campplus.compute_embedding(params, np.zeros(100, np.int16))
+    assert np.isfinite(emb).all()
+
+
+def test_spectral_cluster_two_clear_speakers():
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal(32) * 0.05 + np.eye(32)[0] * 3
+    b = rng.standard_normal(32) * 0.05 + np.eye(32)[1] * 3
+    embs = np.stack([a + rng.standard_normal(32) * 0.05 for _ in range(10)]
+                    + [b + rng.standard_normal(32) * 0.05 for _ in range(10)])
+    labels = spectral_cluster(embs, max_speakers=8)
+    assert len(set(labels.tolist())) == 2
+    assert len(set(labels[:10].tolist())) == 1
+    assert len(set(labels[10:].tolist())) == 1
+
+
+def test_spectral_cluster_edge_cases():
+    assert spectral_cluster(np.zeros((0, 8))).shape == (0,)
+    assert spectral_cluster(np.ones((1, 8))).tolist() == [0]

@@ -1,0 +1,231 @@
+"""Speaker segmentation network (pyannote segmentation-3.0 architecture).
+
+Replaces the ONNX `segmentation-3.0.onnx` model the reference runs through
+pyannote-rs/ONNX Runtime (`/root/reference/src/engine.rs:117-122`, model URL
+`engine.rs:90`). Architecture follows the public pyannote design:
+
+  SincNet frontend (parametrized sinc band-pass conv, stride 10; two conv
+  blocks; each followed by abs/layer-norm/leaky-relu + maxpool 3)
+  → 4-layer bidirectional LSTM (hidden 128)
+  → 2 linear layers (128, leaky-relu)
+  → classifier → log-softmax over the 7 **powerset** classes of ≤ 3
+  speakers: {∅, s1, s2, s3, s1s2, s1s3, s2s3}.
+
+Runs on 10 s mono windows (160 000 samples); output frame step is
+16.875 ms (270 samples). Numeric parity with pyannote requires converted
+weights (`load_params`); `init_params` provides random weights for
+architecture validation and offline tests.
+
+TPU-first: the SincNet filters are materialized once as an ordinary conv
+kernel (MXU path); windows are batched on the leading axis; the BiLSTM runs
+as two `lax.scan`s over stacked gates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 16_000
+WINDOW_SECONDS = 10.0
+WINDOW_SAMPLES = int(WINDOW_SECONDS * SAMPLE_RATE)
+
+SINC_FILTERS = 80
+SINC_KERNEL = 251
+SINC_STRIDE = 10
+CONV_FILTERS = 60
+CONV_KERNEL = 5
+POOL = 3
+LSTM_HIDDEN = 128
+LSTM_LAYERS = 4
+LINEAR_DIM = 128
+N_CLASSES = 7  # powerset of up to 3 simultaneous speakers
+MAX_SPEAKERS_LOCAL = 3
+
+# class index -> active local speakers
+POWERSET: List[Tuple[int, ...]] = [(), (0,), (1,), (2,), (0, 1), (0, 2), (1, 2)]
+
+# frames(T) = floor progression through stride-10 conv + three /3 maxpools
+FRAME_STEP_SAMPLES = SINC_STRIDE * POOL ** 3  # 270 -> 16.875 ms
+
+
+def n_out_frames(n_samples: int) -> int:
+    t = (n_samples - SINC_KERNEL) // SINC_STRIDE + 1
+    t //= POOL
+    t = (t - CONV_KERNEL + 1) // POOL
+    t = (t - CONV_KERNEL + 1) // POOL
+    return t
+
+
+def _mel_init_bands(n_filters: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Mel-spaced initial (low, band) Hz params like SincNet."""
+    low_hz, high_hz = 30.0, SAMPLE_RATE / 2 - 100.0
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1 + f / 700.0)
+
+    def to_hz(m):
+        return 700.0 * (10 ** (m / 2595.0) - 1)
+
+    mel = np.linspace(to_mel(low_hz), to_mel(high_hz), n_filters + 1)
+    hz = to_hz(mel)
+    return hz[:-1].astype(np.float32), np.diff(hz).astype(np.float32)
+
+
+def init_params(seed: int = 0) -> Dict[str, Any]:
+    rng = np.random.default_rng(seed)
+    low, band = _mel_init_bands(SINC_FILTERS)
+
+    def lin(n_in, n_out):
+        return {
+            "w": (rng.standard_normal((n_in, n_out)) * n_in ** -0.5).astype(np.float32),
+            "b": np.zeros((n_out,), np.float32),
+        }
+
+    def conv(cin, cout, k):
+        return {
+            "w": (rng.standard_normal((k, cin, cout)) * (k * cin) ** -0.5).astype(np.float32),
+            "b": np.zeros((cout,), np.float32),
+        }
+
+    def lstm_dir(n_in):
+        return {
+            "w": (rng.standard_normal((n_in + LSTM_HIDDEN, 4 * LSTM_HIDDEN)) * n_in ** -0.5).astype(np.float32),
+            "b": np.zeros((4 * LSTM_HIDDEN,), np.float32),
+        }
+
+    params = {
+        "sinc": {"low_hz": low, "band_hz": band},
+        "ln0": {"s": np.ones((SINC_FILTERS,), np.float32), "b": np.zeros((SINC_FILTERS,), np.float32)},
+        "conv1": conv(SINC_FILTERS, CONV_FILTERS, CONV_KERNEL),
+        "ln1": {"s": np.ones((CONV_FILTERS,), np.float32), "b": np.zeros((CONV_FILTERS,), np.float32)},
+        "conv2": conv(CONV_FILTERS, CONV_FILTERS, CONV_KERNEL),
+        "ln2": {"s": np.ones((CONV_FILTERS,), np.float32), "b": np.zeros((CONV_FILTERS,), np.float32)},
+        "lstm": [
+            {"fwd": lstm_dir(CONV_FILTERS if i == 0 else 2 * LSTM_HIDDEN),
+             "bwd": lstm_dir(CONV_FILTERS if i == 0 else 2 * LSTM_HIDDEN)}
+            for i in range(LSTM_LAYERS)
+        ],
+        "fc1": lin(2 * LSTM_HIDDEN, LINEAR_DIM),
+        "fc2": lin(LINEAR_DIM, LINEAR_DIM),
+        "cls": lin(LINEAR_DIM, N_CLASSES),
+    }
+    return jax.tree.map(jnp.asarray, params)
+
+
+def load_params(path: str) -> Dict[str, Any]:
+    """Load converted pyannote weights from .npz (keys mirror init_params)."""
+    z = np.load(path, allow_pickle=True)
+    tree = {k: z[k] for k in z.files}
+    # nested dict encoding: keys like "lstm.0.fwd.w"
+    out: Dict[str, Any] = {}
+    for k, v in tree.items():
+        cur = out
+        parts = k.split(".")
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = jnp.asarray(v)
+    if "lstm" in out:
+        out["lstm"] = [out["lstm"][str(i)] for i in range(LSTM_LAYERS)]
+    return out
+
+
+def _sinc_kernel(low_hz: jnp.ndarray, band_hz: jnp.ndarray) -> jnp.ndarray:
+    """Materialize band-pass sinc filters [SINC_KERNEL, 1, SINC_FILTERS]."""
+    low = jnp.abs(low_hz) + 50.0
+    high = jnp.clip(low + jnp.abs(band_hz), 50.0, SAMPLE_RATE / 2)
+    t = (jnp.arange(SINC_KERNEL) - (SINC_KERNEL - 1) / 2) / SAMPLE_RATE  # [K]
+    t = jnp.where(t == 0, 1e-12, t)
+    window = 0.54 - 0.46 * jnp.cos(
+        2 * jnp.pi * jnp.arange(SINC_KERNEL) / (SINC_KERNEL - 1)
+    )
+
+    def bandpass(lo, hi):
+        return (jnp.sin(2 * jnp.pi * hi * t) - jnp.sin(2 * jnp.pi * lo * t)) / (
+            jnp.pi * t
+        ) * window
+
+    filt = jax.vmap(bandpass)(low, high)  # [F, K]
+    filt = filt / jnp.max(jnp.abs(filt), axis=1, keepdims=True)
+    return filt.T[:, None, :]  # [K, 1, F]
+
+
+def _layernorm(x, p):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["s"] + p["b"]
+
+
+def _maxpool(x, k):
+    """[B, T, C] -> [B, T//k, C]"""
+    T = (x.shape[1] // k) * k
+    x = x[:, :T].reshape(x.shape[0], T // k, k, x.shape[2])
+    return jnp.max(x, axis=2)
+
+
+def _lstm_scan(p, x, reverse=False):
+    """x [B, T, C] -> [B, T, H] one direction."""
+    B = x.shape[0]
+
+    def step(carry, xt):
+        h, c = carry
+        z = jnp.concatenate([xt, h], -1) @ p["w"] + p["b"]
+        i, f, g, o = jnp.split(z, 4, -1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    h0 = jnp.zeros((B, LSTM_HIDDEN), x.dtype)
+    xs = jnp.swapaxes(x, 0, 1)
+    _, hs = jax.lax.scan(step, (h0, h0), xs, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)
+
+
+@jax.jit
+def forward(params: Dict[str, Any], audio: jnp.ndarray) -> jnp.ndarray:
+    """audio [B, T] float32 in [-1, 1] -> log-probs [B, frames, 7]."""
+    if audio.ndim == 1:
+        audio = audio[None]
+    x = audio[:, :, None]  # [B, T, 1]
+    k = _sinc_kernel(params["sinc"]["low_hz"], params["sinc"]["band_hz"])
+    x = jax.lax.conv_general_dilated(
+        x, k, window_strides=(SINC_STRIDE,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    x = jnp.abs(x)
+    x = _maxpool(x, POOL)
+    x = jax.nn.leaky_relu(_layernorm(x, params["ln0"]), 0.01)
+
+    for conv_name, ln_name in (("conv1", "ln1"), ("conv2", "ln2")):
+        x = jax.lax.conv_general_dilated(
+            x, params[conv_name]["w"], window_strides=(1,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + params[conv_name]["b"]
+        x = _maxpool(x, POOL)
+        x = jax.nn.leaky_relu(_layernorm(x, params[ln_name]), 0.01)
+
+    for layer in params["lstm"]:
+        fwd = _lstm_scan(layer["fwd"], x)
+        bwd = _lstm_scan(layer["bwd"], x, reverse=True)
+        x = jnp.concatenate([fwd, bwd], -1)
+
+    x = jax.nn.leaky_relu(x @ params["fc1"]["w"] + params["fc1"]["b"], 0.01)
+    x = jax.nn.leaky_relu(x @ params["fc2"]["w"] + params["fc2"]["b"], 0.01)
+    logits = x @ params["cls"]["w"] + params["cls"]["b"]
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
+def powerset_to_activity(log_probs: np.ndarray) -> np.ndarray:
+    """[.., frames, 7] log-probs -> [.., frames, 3] binary speaker activity
+    via per-frame argmax over the powerset classes."""
+    cls = np.argmax(log_probs, axis=-1)
+    act = np.zeros(cls.shape + (MAX_SPEAKERS_LOCAL,), np.bool_)
+    for ci, members in enumerate(POWERSET):
+        sel = cls == ci
+        for m in members:
+            act[sel, m] = True
+    return act

@@ -1,0 +1,174 @@
+"""Voice activity detection: Silero-style probabilities -> speech segments.
+
+Mirrors the behavior of the reference's VAD layer:
+
+* the hysteresis state machine converting per-chunk probabilities into
+  speech segments follows whisper.cpp's VAD defaults as configured by the
+  reference (`/root/reference/src/vad.rs:21-28`): threshold 0.5,
+  neg-threshold = threshold - 0.15, min speech 250 ms, **min silence 100 ms**
+  (the one knob the reference overrides, `vad.rs:22`), 30 ms speech padding;
+  segment times quantized to centiseconds (`vad.rs:41`),
+* `get_segments` returns `(raw_mask, merged_segments)` exactly like
+  `vad.rs:6-84`: the raw (unmerged) mask in seconds for the formatter's
+  silence oracle, plus speech segments with gaps < 200 ms merged — bridged
+  silence included — and int16 samples sliced per merged range, clamped at
+  16 kHz (`vad.rs:49-81`).
+
+The neural probability pass runs batched on TPU (`models/silero_vad.py`);
+this module is the host-side policy layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .audio import int16_to_float32
+from .models import silero_vad
+from .types import SpeechSegment
+
+SAMPLE_RATE = 16_000
+MERGE_GAP_S = 0.200  # `vad.rs:50`
+
+
+@dataclass
+class VadParams:
+    """whisper.cpp VAD parameter surface (`vad.rs:21-28`)."""
+
+    threshold: float = 0.5
+    min_speech_duration_ms: int = 250
+    min_silence_duration_ms: int = 100  # reference override (`vad.rs:22`)
+    speech_pad_ms: int = 30
+    max_speech_duration_s: float = float("inf")
+
+
+def segments_from_probs(
+    probs: np.ndarray,  # [n_chunks] speech probability per 512-sample chunk
+    n_samples: int,
+    params: Optional[VadParams] = None,
+) -> List[Tuple[float, float]]:
+    """Hysteresis state machine -> [(start_s, end_s)] with centisecond
+    quantization, matching whisper.cpp's segments_from_samples output shape
+    consumed at `vad.rs:31-43`."""
+    p = params or VadParams()
+    neg_threshold = max(0.01, p.threshold - 0.15)
+    window = silero_vad.CHUNK
+    min_speech = int(p.min_speech_duration_ms * SAMPLE_RATE / 1000)
+    min_silence = int(p.min_silence_duration_ms * SAMPLE_RATE / 1000)
+    pad = int(p.speech_pad_ms * SAMPLE_RATE / 1000)
+    max_speech = (
+        float("inf")
+        if np.isinf(p.max_speech_duration_s)
+        else int(p.max_speech_duration_s * SAMPLE_RATE)
+    )
+
+    segs: List[List[int]] = []
+    triggered = False
+    start = 0
+    temp_end = 0
+    for i, prob in enumerate(np.asarray(probs, np.float64)):
+        pos = i * window
+        if prob >= p.threshold and temp_end:
+            temp_end = 0
+        if prob >= p.threshold and not triggered:
+            triggered = True
+            start = pos
+            continue
+        if triggered and (pos - start) > max_speech:
+            segs.append([start, pos])
+            triggered = False
+            temp_end = 0
+            continue
+        if prob < neg_threshold and triggered:
+            if not temp_end:
+                temp_end = pos
+            if pos - temp_end < min_silence:
+                continue
+            end = temp_end
+            if end - start > min_speech:
+                segs.append([start, end])
+            triggered = False
+            temp_end = 0
+    if triggered and n_samples - start > min_speech:
+        segs.append([start, n_samples])
+
+    # pad segments, clamping into the gap midpoint when neighbors collide
+    out: List[Tuple[float, float]] = []
+    for k, (s, e) in enumerate(segs):
+        s = max(0, s - pad)
+        e = min(n_samples, e + pad)
+        if k > 0:
+            prev_e = segs[k - 1][1]
+            if s < prev_e + pad:
+                mid = (prev_e + segs[k][0]) // 2
+                s = max(s, mid)
+                if out:
+                    ps, pe = out[-1]
+                    out[-1] = (ps, min(pe, mid / SAMPLE_RATE))
+        out.append((s / SAMPLE_RATE, e / SAMPLE_RATE))
+    # centisecond quantization (whisper.cpp reports centiseconds)
+    return [
+        (round(s * 100.0) / 100.0, round(e * 100.0) / 100.0)
+        for s, e in out
+        if e > s
+    ]
+
+
+def merge_close_segments(mask: List[Tuple[float, float]]) -> List[Tuple[float, float]]:
+    """Merge ranges separated by < 200 ms, extending the last range's end and
+    including the bridged silence (`vad.rs:49-63`)."""
+    merged: List[List[float]] = []
+    for st, en in mask:
+        if merged and (st - merged[-1][1]) < MERGE_GAP_S:
+            merged[-1][1] = max(en, merged[-1][1])
+        else:
+            merged.append([st, en])
+    return [(s, e) for s, e in merged]
+
+
+def slice_segments(
+    ranges: List[Tuple[float, float]], int_samples: np.ndarray
+) -> List[SpeechSegment]:
+    """Slice int16 samples per merged range, clamped at 16 kHz, dropping
+    empty/inverted ranges (`vad.rs:66-81`)."""
+    n = len(int_samples)
+    out: List[SpeechSegment] = []
+    for start_sec, end_sec in ranges:
+        start_idx = int(np.clip(round(start_sec * SAMPLE_RATE), 0, n))
+        end_idx = int(np.clip(round(end_sec * SAMPLE_RATE), 0, n))
+        samples = int_samples[start_idx:end_idx] if end_idx > start_idx else np.empty(0, np.int16)
+        if end_sec > start_sec and samples.size:
+            out.append(SpeechSegment(start=start_sec, end=end_sec, samples=samples))
+    return out
+
+
+def get_segments(
+    vad_model: Any,
+    int_samples: np.ndarray,
+    params: Optional[VadParams] = None,
+) -> Tuple[List[Tuple[float, float]], List[SpeechSegment]]:
+    """Full VAD pass: i16 mono 16 kHz samples -> (raw_mask, merged_segments).
+
+    `vad_model` is a Silero params pytree, a path to a converted .npz, or
+    None for random weights (architecture-only runs). Mirrors
+    `vad::get_segments` (`vad.rs:6-84`).
+    """
+    if vad_model is None:
+        model_params = silero_vad.init_params()
+    elif isinstance(vad_model, (str,)):
+        model_params = silero_vad.load_params(vad_model)
+    else:
+        model_params = vad_model
+
+    samples = int16_to_float32(np.asarray(int_samples))
+    probs = np.asarray(silero_vad.speech_probs(model_params, samples[None]))[0]
+
+    mask = segments_from_probs(probs, len(int_samples), params)
+    # defensive sort (`vad.rs:46`)
+    mask = sorted([r for r in mask if r[1] > r[0]], key=lambda r: r[0])
+
+    merged_ranges = merge_close_segments(mask)
+    merged_segments = slice_segments(merged_ranges, np.asarray(int_samples))
+    return mask, merged_segments
