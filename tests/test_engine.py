@@ -1,0 +1,244 @@
+import numpy as np
+import pytest
+
+from whisper_diarize_tpu.engine import Engine, EngineConfig
+from whisper_diarize_tpu.formatting import FormattingOverrides
+from whisper_diarize_tpu.models import whisper as wm
+from whisper_diarize_tpu.models import weights as weights_mod
+from whisper_diarize_tpu.types import Callbacks, ProgressType, Segment, TranscribeOptions
+
+TINY_TEST_CFG = wm.WhisperConfig(
+    n_mels=80, n_vocab=51865,
+    n_audio_ctx=1500, n_audio_state=64, n_audio_head=2, n_audio_layer=2,
+    n_text_ctx=448, n_text_state=64, n_text_head=2, n_text_layer=2,
+)
+
+
+@pytest.fixture(scope="module")
+def snapshot_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("model")
+    weights_mod.init_random_snapshot(d, cfg=TINY_TEST_CFG, seed=0)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def wav_path(tmp_path_factory):
+    from whisper_diarize_tpu.audio import write_wav
+
+    rng = np.random.default_rng(0)
+    x = np.zeros(16000 * 4, np.int16)
+    x[16000 : 16000 * 3] = (rng.standard_normal(16000 * 2) * 6000).astype(np.int16)
+    p = tmp_path_factory.mktemp("audio") / "in.wav"
+    write_wav(str(p), x)
+    return str(p)
+
+
+def make_engine(snapshot_dir, tmp_path, **kw):
+    cfg = EngineConfig(
+        cache_dir=str(tmp_path / "cache"),
+        whisper_model_path=snapshot_dir,
+        enable_dtw=kw.pop("enable_dtw", False),
+        batch_size=kw.pop("batch_size", 4),
+        max_decode_tokens=kw.pop("max_decode_tokens", 12),
+        **kw,
+    )
+    return Engine(cfg)
+
+
+def test_missing_audio_raises(snapshot_dir, tmp_path):
+    eng = make_engine(snapshot_dir, tmp_path)
+    with pytest.raises(FileNotFoundError, match="audio file doesn't exist"):
+        eng.transcribe_audio("/nope/missing.wav", TranscribeOptions())
+
+
+def test_whole_file_branch(snapshot_dir, tmp_path, wav_path):
+    """Branch C: no VAD, no diarize (`engine.rs:141-147`)."""
+    eng = make_engine(snapshot_dir, tmp_path)
+    opts = TranscribeOptions(enable_vad=False, lang="en")
+    cues = eng.transcribe_audio(wav_path, opts)
+    assert isinstance(cues, list)
+    for c in cues:
+        assert isinstance(c, Segment)
+        assert c.end >= c.start >= 0
+
+
+def test_vad_branch_with_callbacks(snapshot_dir, tmp_path, wav_path):
+    eng = make_engine(snapshot_dir, tmp_path)
+    progress_events = []
+    new_segments = []
+    cb = Callbacks(
+        progress=lambda pct, kind, label: progress_events.append((pct, kind)),
+        new_segment_callback=lambda seg: new_segments.append(seg),
+    )
+    opts = TranscribeOptions(enable_vad=True, lang="en")
+    eng.transcribe_audio(wav_path, opts, callbacks=cb)
+    kinds = {k for _, k in progress_events}
+    assert ProgressType.TRANSCRIBE in kinds
+    transcribe_pcts = [p for p, k in progress_events if k == ProgressType.TRANSCRIBE]
+    assert transcribe_pcts[-1] == 100
+    assert transcribe_pcts == sorted(transcribe_pcts)
+    # every raw segment was streamed before formatting
+    assert len(new_segments) == len(transcribe_pcts)
+
+
+def test_language_latching_auto(snapshot_dir, tmp_path, wav_path):
+    eng = make_engine(snapshot_dir, tmp_path)
+    opts = TranscribeOptions(enable_vad=False, lang="auto")
+    cues = eng.transcribe_audio(wav_path, opts)  # must not raise
+    assert isinstance(cues, list)
+
+
+def test_diarize_branch(snapshot_dir, tmp_path, wav_path):
+    eng = make_engine(
+        snapshot_dir,
+        tmp_path,
+        diarize_segment_model_path="__random__",
+        diarize_embedding_model_path="__random__",
+    )
+    opts = TranscribeOptions(enable_diarize=True, lang="en", max_speakers=2)
+    cues = eng.transcribe_audio(wav_path, opts)
+    for c in cues:
+        assert c.speaker_id is None or isinstance(c.speaker_id, str)
+
+
+def test_offset_applied(snapshot_dir, tmp_path, wav_path):
+    eng = make_engine(snapshot_dir, tmp_path)
+    opts = TranscribeOptions(enable_vad=False, lang="en", offset=100.0)
+    cues = eng.transcribe_audio(wav_path, opts)
+    for c in cues:
+        assert c.start >= 99.0  # all timestamps pushed by the user offset
+
+
+def test_dtw_enabled_path(snapshot_dir, tmp_path, wav_path):
+    eng = make_engine(snapshot_dir, tmp_path, enable_dtw=True)
+    opts = TranscribeOptions(enable_vad=False, lang="en")
+    cues = eng.transcribe_audio(wav_path, opts)
+    assert isinstance(cues, list)
+
+
+def test_formatting_overrides_respected(snapshot_dir, tmp_path, wav_path):
+    eng = make_engine(snapshot_dir, tmp_path)
+    opts = TranscribeOptions(enable_vad=False, lang="en")
+    ov = FormattingOverrides(max_chars_per_line=10, max_lines=2)
+    cues = eng.transcribe_audio(wav_path, opts, formatting_overrides=ov)
+    assert isinstance(cues, list)
+
+
+def test_cancellation_stops_early(snapshot_dir, tmp_path, wav_path):
+    eng = make_engine(snapshot_dir, tmp_path)
+    cb = Callbacks(is_cancelled=lambda: True)
+    opts = TranscribeOptions(enable_vad=False, lang="en")
+    cues = eng.transcribe_audio(wav_path, opts, callbacks=cb)
+    assert cues == []
+
+
+def test_sequential_prompt_mode(snapshot_dir, tmp_path, wav_path):
+    eng = make_engine(snapshot_dir, tmp_path, sequential_prompt=True)
+    opts = TranscribeOptions(enable_vad=True, lang="en")
+    cues = eng.transcribe_audio(wav_path, opts)
+    assert isinstance(cues, list)
+
+
+def test_async_wrapper(snapshot_dir, tmp_path, wav_path):
+    import asyncio
+
+    eng = make_engine(snapshot_dir, tmp_path)
+    opts = TranscribeOptions(enable_vad=False, lang="en")
+    cues = asyncio.run(eng.transcribe_audio_async(wav_path, opts))
+    assert isinstance(cues, list)
+
+
+def test_weights_roundtrip(tmp_path):
+    """save_params -> load_model reproduces the exact pytree."""
+    import jax
+
+    params = wm.init_params(TINY_TEST_CFG, seed=1)
+    weights_mod.save_params(params, TINY_TEST_CFG, tmp_path / "snap")
+    loaded, cfg = weights_mod.load_model(tmp_path / "snap")
+    assert cfg == TINY_TEST_CFG
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(loaded)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hf_conversion(tmp_path):
+    """A fabricated HF-layout checkpoint converts into a working pytree."""
+    import json
+
+    rng = np.random.default_rng(0)
+    d, L, H, V = 64, 2, 2, 51865
+    flat = {}
+
+    def add_lin(prefix, n_in, n_out, bias=True):
+        flat[prefix + ".weight"] = rng.standard_normal((n_out, n_in)).astype(np.float32)
+        if bias:
+            flat[prefix + ".bias"] = np.zeros(n_out, np.float32)
+
+    def add_ln(prefix, n):
+        flat[prefix + ".weight"] = np.ones(n, np.float32)
+        flat[prefix + ".bias"] = np.zeros(n, np.float32)
+
+    flat["model.encoder.conv1.weight"] = rng.standard_normal((d, 80, 3)).astype(np.float32)
+    flat["model.encoder.conv1.bias"] = np.zeros(d, np.float32)
+    flat["model.encoder.conv2.weight"] = rng.standard_normal((d, d, 3)).astype(np.float32)
+    flat["model.encoder.conv2.bias"] = np.zeros(d, np.float32)
+    flat["model.encoder.embed_positions.weight"] = np.zeros((1500, d), np.float32)
+    add_ln("model.encoder.layer_norm", d)
+    for i in range(L):
+        e = f"model.encoder.layers.{i}."
+        add_ln(e + "self_attn_layer_norm", d)
+        add_lin(e + "self_attn.q_proj", d, d)
+        add_lin(e + "self_attn.k_proj", d, d, bias=False)
+        add_lin(e + "self_attn.v_proj", d, d)
+        add_lin(e + "self_attn.out_proj", d, d)
+        add_ln(e + "final_layer_norm", d)
+        add_lin(e + "fc1", d, 4 * d)
+        add_lin(e + "fc2", 4 * d, d)
+    flat["model.decoder.embed_tokens.weight"] = (
+        rng.standard_normal((V, d)).astype(np.float32) * 0.02
+    )
+    flat["model.decoder.embed_positions.weight"] = np.zeros((448, d), np.float32)
+    add_ln("model.decoder.layer_norm", d)
+    for i in range(L):
+        dd = f"model.decoder.layers.{i}."
+        add_ln(dd + "self_attn_layer_norm", d)
+        add_lin(dd + "self_attn.q_proj", d, d)
+        add_lin(dd + "self_attn.k_proj", d, d, bias=False)
+        add_lin(dd + "self_attn.v_proj", d, d)
+        add_lin(dd + "self_attn.out_proj", d, d)
+        add_ln(dd + "encoder_attn_layer_norm", d)
+        add_lin(dd + "encoder_attn.q_proj", d, d)
+        add_lin(dd + "encoder_attn.k_proj", d, d, bias=False)
+        add_lin(dd + "encoder_attn.v_proj", d, d)
+        add_lin(dd + "encoder_attn.out_proj", d, d)
+        add_ln(dd + "final_layer_norm", d)
+        add_lin(dd + "fc1", d, 4 * d)
+        add_lin(dd + "fc2", 4 * d, d)
+
+    from safetensors.numpy import save_file
+
+    snap = tmp_path / "hf"
+    snap.mkdir()
+    save_file(flat, str(snap / "model.safetensors"))
+    (snap / "config.json").write_text(
+        json.dumps(
+            dict(
+                vocab_size=V, num_mel_bins=80, d_model=d,
+                encoder_layers=L, decoder_layers=L,
+                encoder_attention_heads=H, decoder_attention_heads=H,
+                max_source_positions=1500, max_target_positions=448,
+            )
+        )
+    )
+    params, cfg = weights_mod.load_model(snap)
+    assert cfg.n_audio_state == d and cfg.n_text_layer == L
+    # converted params drive the model
+    import jax.numpy as jnp
+
+    mel = jnp.zeros((1, 80, 3000), jnp.float32)
+    xa = wm.encode(params, mel, cfg)
+    assert xa.shape == (1, 1500, d)
+    # linears were transposed correctly: q_w is [L, in, out]
+    assert params["decoder"]["blocks"]["q_w"].shape == (L, d, d)

@@ -1,0 +1,443 @@
+"""Engine: the end-to-end transcription + diarization orchestrator.
+
+Mirrors the reference's `Engine::transcribe_audio` control flow
+(`/root/reference/src/engine.rs:65-200`, call stack SURVEY.md §3.1):
+
+  audio.wav -> read_wav -> [diarize | vad | whole-file] speech segments
+  -> batched whisper decode (+DTW word timestamps, +per-chunk speaker id)
+  -> optional Google-translate post-pass (skipped for whisper_to_english)
+  -> language preset + overrides -> process_segments subtitle cues.
+
+Behavioral parity points:
+* config surface and defaults match `EngineConfig` (`engine.rs:9-33`);
+  `use_gpu` maps to "use the TPU/accelerator backend",
+* diarize threshold default 0.5 (`engine.rs:103`); `max_speakers` 0/None ->
+  unbounded (`engine.rs:108-111`),
+* language: pre-latched when `lang != "auto"`, else detected once from the
+  first chunk and reused (`transcribe.rs:370-374,392-395`),
+* rolling `previous_text` prompt conditioning and the overlap clamp
+  (`transcribe.rs:384-386,448-459`) in sequential mode,
+* per-chunk progress `(i+1)/len*100` with ProgressType.TRANSCRIBE
+  (`transcribe.rs:517-522`), `new_segment_callback` per segment,
+* embeddings computed on the whole chunk's samples, not per sentence
+  (`transcribe.rs:377,466`); speaker policy at `transcribe.rs:480-495`.
+
+TPU-native departure (the whole point of the rebuild): chunks are decoded as
+padded batches (`parallel/batching.py`) instead of a serial FFI loop. The
+reference's serial prompt chain can't batch across a single stream, so
+prompt carry is OFF by default (`sequential_prompt=False`); setting it True
+restores the reference's serial semantics exactly. Speaker embeddings are
+also batched (one CAM++ call per batch of chunks, `transcribe.rs:466` runs
+ONNX per segment).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import audio as audio_io
+from . import translate as translate_mod
+from .formatting import (
+    FormattingOverrides,
+    PostProcessConfig,
+    VadMaskOracle,
+    apply_overrides,
+    process_segments,
+)
+from .model_manager import ModelManager
+from .ops import decode as dec
+from .ops.mel import N_SAMPLES, SAMPLE_RATE
+from .parallel.batching import iter_batches, plan_windows
+from .types import (
+    Callbacks,
+    DiarizeOptions,
+    ProgressType,
+    Segment,
+    SpeechSegment,
+    TranscribeOptions,
+    WordTimestamp,
+)
+
+logger = logging.getLogger(__name__)
+
+UNBOUNDED_SPEAKERS = 2**62  # usize::MAX analogue (`engine.rs:108-111`)
+
+
+@dataclass
+class EngineConfig:
+    """Knobs mirroring `engine.rs:9-33`, plus TPU-native extensions."""
+
+    cache_dir: str = "./cache"
+    enable_dtw: Optional[bool] = True
+    enable_flash_attn: Optional[bool] = False  # reserved (XLA fuses attention)
+    use_gpu: Optional[bool] = True  # use the accelerator backend (TPU)
+    gpu_device: Optional[int] = None  # device ordinal
+    vad_model_path: Optional[str] = None
+    diarize_segment_model_path: Optional[str] = None
+    diarize_embedding_model_path: Optional[str] = None
+    # --- TPU-native extensions ---
+    whisper_model_path: Optional[str] = None  # local snapshot dir (skips download)
+    batch_size: int = 8  # decode windows per batch
+    dtype: Optional[str] = None  # "bfloat16" | "float32" (auto by backend)
+    sequential_prompt: bool = False  # reference-parity serial prompt carry
+    max_decode_tokens: int = 224
+
+
+class Engine:
+    """Public orchestrator (`engine.rs:52-217`)."""
+
+    def __init__(self, cfg: Optional[EngineConfig] = None):
+        self.cfg = cfg or EngineConfig()
+        self.models = ModelManager(self.cfg.cache_dir)
+        self._step_cache: Dict[Tuple, Any] = {}
+
+    # ------------------------------------------------------------------
+    def _resolve_dtype(self):
+        import jax
+        import jax.numpy as jnp
+
+        if self.cfg.dtype == "bfloat16":
+            return jnp.bfloat16
+        if self.cfg.dtype == "float32":
+            return jnp.float32
+        if self.cfg.use_gpu is False:
+            return jnp.float32
+        return jnp.bfloat16 if jax.default_backend() in ("tpu",) else jnp.float32
+
+    def _load_whisper(self, options: TranscribeOptions, progress, is_cancelled):
+        """Resolve + load the whisper checkpoint and tokenizer."""
+        from .models import weights as weights_mod
+        from .tokenizer import load_tokenizer
+
+        if self.cfg.whisper_model_path:
+            snap = Path(self.cfg.whisper_model_path)
+        else:
+            snap = self.models.ensure_whisper_model(
+                options.model, progress, is_cancelled
+            )
+        params, cfg = weights_mod.load_model(snap, dtype=self._resolve_dtype())
+        tokenizer = load_tokenizer(
+            str(snap), multilingual=cfg.multilingual, num_languages=cfg.num_languages
+        )
+        return params, cfg, tokenizer
+
+    def _make_step(self, params, cfg, tokenizer, options: TranscribeOptions):
+        from .transcribe import TranscribeStep
+
+        adv = options.advanced
+        beam = max((adv.best_of_or_beam_size if adv else None) or 5, 1)
+        strategy = (
+            "greedy"
+            if adv and adv.sampling_strategy == "greedy"
+            else "beam_search"
+        )
+        temperature = float(adv.temperature) if (adv and adv.temperature and strategy == "greedy") else 0.0
+        from .tokenizer import DebugTokenizer
+
+        blank_id = 32 if isinstance(tokenizer, DebugTokenizer) else 220
+        dc = dec.DecodeConfig(
+            beam_size=beam,
+            temperature=temperature,
+            max_tokens=min(
+                self.cfg.max_decode_tokens,
+                (adv.max_text_ctx if adv and adv.max_text_ctx else 448),
+            ),
+            blank_id=blank_id,
+        )
+        return TranscribeStep(
+            params, cfg, tokenizer,
+            model_name=options.model,
+            enable_dtw=bool(self.cfg.enable_dtw),
+            decode_config=dc,
+            strategy=strategy,
+        )
+
+    # ------------------------------------------------------------------
+    def transcribe_audio(
+        self,
+        audio_path: str,
+        options: Optional[TranscribeOptions] = None,
+        formatting_overrides: Optional[FormattingOverrides] = None,
+        callbacks: Optional[Callbacks] = None,
+    ) -> List[Segment]:
+        """The primary entry point (`engine.rs:65-200`)."""
+        options = options or TranscribeOptions()
+        cb = callbacks or Callbacks()
+
+        if not os.path.exists(audio_path):
+            raise FileNotFoundError("audio file doesn't exist")
+
+        params, model_cfg, tokenizer = self._load_whisper(
+            options, cb.progress, cb.is_cancelled
+        )
+
+        original_samples = audio_io.read_wav(audio_path)
+
+        speech_segments: List[SpeechSegment] = []
+        diarize_options: Optional[DiarizeOptions] = None
+        vad_mask: Optional[VadMaskOracle] = None
+
+        if options.enable_diarize:
+            # resolve diarization models (paths may be .npz weight files;
+            # None -> download via ModelManager like `engine.rs:94-100`)
+            if (
+                self.cfg.diarize_segment_model_path
+                and self.cfg.diarize_embedding_model_path
+            ):
+                seg_path = self.cfg.diarize_segment_model_path
+                emb_path = self.cfg.diarize_embedding_model_path
+            else:
+                seg_p, emb_p = self.models.ensure_diarize_models(
+                    progress=cb.progress, is_cancelled=cb.is_cancelled
+                )
+                seg_path, emb_path = str(seg_p), str(emb_p)
+
+            adv = options.advanced
+            threshold = (adv.diarize_threshold if adv else None) or 0.5
+            max_speakers = (
+                UNBOUNDED_SPEAKERS
+                if not options.max_speakers
+                else options.max_speakers
+            )
+            diarize_options = DiarizeOptions(
+                segment_model_path=seg_path,
+                embedding_model_path=emb_path,
+                threshold=threshold,
+                max_speakers=max_speakers,
+            )
+            from . import diarize as diarize_mod
+            from .models import segmentation as segmentation_mod
+
+            seg_params = (
+                segmentation_mod.load_params(seg_path)
+                if seg_path and os.path.exists(seg_path) and seg_path.endswith(".npz")
+                else segmentation_mod.init_params()
+            )
+            speech_segments = diarize_mod.get_segments(
+                original_samples, SAMPLE_RATE, seg_params
+            )
+        elif options.enable_vad:
+            from . import vad as vad_mod
+
+            vad_model = self.cfg.vad_model_path
+            if vad_model is None:
+                try:
+                    vad_model = str(
+                        self.models.ensure_vad_model(cb.progress, cb.is_cancelled)
+                    )
+                except Exception:
+                    logger.warning("VAD weights unavailable; using random init")
+                    vad_model = None
+            mask, speech_segments = vad_mod.get_segments(vad_model, original_samples)
+            vad_mask = VadMaskOracle(mask)
+        else:
+            speech_segments = [
+                SpeechSegment(
+                    start=0.0,
+                    end=len(original_samples) / SAMPLE_RATE,
+                    samples=original_samples,
+                )
+            ]
+
+        logger.info("Transcribing %d segments", len(speech_segments))
+
+        step = self._make_step(params, model_cfg, tokenizer, options)
+
+        translate_to = options.translate_target
+        from_lang = options.lang or "auto"
+        whisper_to_en = bool(options.whisper_to_english)
+
+        segments, detected_lang = self._run_pipeline(
+            step, speech_segments, options, diarize_options, cb
+        )
+
+        effective_lang = detected_lang or from_lang
+
+        if not whisper_to_en and translate_to:
+            translate_mod.translate_segments(
+                segments, effective_lang, translate_to, cb.progress
+            )
+
+        pp_cfg = PostProcessConfig.for_language(effective_lang)
+        if formatting_overrides is not None:
+            apply_overrides(pp_cfg, formatting_overrides)
+
+        return process_segments(segments, pp_cfg, vad_mask)
+
+    # async parity with the reference's async fn (`engine.rs:65`)
+    async def transcribe_audio_async(self, *args, **kwargs) -> List[Segment]:
+        import asyncio
+
+        return await asyncio.to_thread(self.transcribe_audio, *args, **kwargs)
+
+    # ------------------------------------------------------------------
+    def _run_pipeline(
+        self,
+        step,
+        speech_segments: List[SpeechSegment],
+        options: TranscribeOptions,
+        diarize_options: Optional[DiarizeOptions],
+        cb: Callbacks,
+    ) -> Tuple[List[Segment], Optional[str]]:
+        """Batched equivalent of `run_transcription_pipeline`
+        (`transcribe.rs:323-535`)."""
+        import jax.numpy as jnp
+
+        user_offset = options.offset or 0.0
+        translated = bool(options.whisper_to_english)
+        task = "translate" if translated else "transcribe"
+
+        detected_lang: Optional[str] = None
+        if options.lang and options.lang != "auto":
+            detected_lang = options.lang
+
+        # diarization state
+        emb_params = None
+        emb_manager = None
+        if diarize_options is not None:
+            from .diarize import EmbeddingManager
+            from .models import campplus
+
+            emb_path = diarize_options.embedding_model_path
+            emb_params = (
+                campplus.load_params(emb_path)
+                if emb_path and os.path.exists(emb_path) and emb_path.endswith(".npz")
+                else campplus.init_params()
+            )
+            emb_manager = EmbeddingManager(diarize_options.max_speakers)
+
+        windows = plan_windows(speech_segments)
+        segments: List[Segment] = []
+        previous_text: Optional[str] = None
+        prev_tokens: Optional[List[int]] = None
+        adv = options.advanced
+        init_prompt = adv.init_prompt if adv else None
+        if init_prompt:
+            prev_tokens = step.tk.encode(" " + init_prompt.strip())
+
+        n_windows = len(windows)
+        done = 0
+
+        batch_size = 1 if self.cfg.sequential_prompt else self.cfg.batch_size
+        for group, audio_batch, n_valid in iter_batches(windows, batch_size):
+            if cb.is_cancelled and cb.is_cancelled():
+                break
+            mel = step.mel(audio_batch)
+            xa = step.encode(mel)
+
+            if detected_lang is None:
+                # latch language from the first chunk (`transcribe.rs:392-395`)
+                langs = step.detect_language(xa[:1])
+                detected_lang = langs[0] if langs else "en"
+
+            res = step.decode(
+                xa,
+                detected_lang,
+                task,
+                prev_tokens=prev_tokens if self.cfg.sequential_prompt else (
+                    step.tk.encode(" " + init_prompt.strip()) if init_prompt else None
+                ),
+            )
+            chunk_results = step.build_chunk_results(
+                res, xa, n_valid, 0, translated
+            )
+
+            # batched speaker embeddings over the group's chunk samples
+            speaker_ids: List[Optional[str]] = [None] * len(group)
+            if emb_manager is not None and group:
+                from .models import campplus
+
+                embs = campplus.compute_embeddings_batch(
+                    emb_params, [w.samples for w in group]
+                )
+                for j in range(len(group)):
+                    emb = embs[j]
+                    if len(emb_manager.get_all_speakers()) == diarize_options.max_speakers:
+                        sid = emb_manager.get_best_speaker_match(emb)
+                    else:
+                        sid = emb_manager.search_speaker(
+                            emb, diarize_options.threshold
+                        )
+                    speaker_ids[j] = str(sid) if sid is not None else "?"
+
+            for j, w in enumerate(group):
+                cr = chunk_results[j]
+                base_offset = w.start + user_offset
+
+                text = cr.text.lstrip()
+                approx_start = base_offset + cr.seg_start
+                approx_end = base_offset + cr.seg_end
+
+                if translated:
+                    from .transcribe import interpolate_word_timestamps
+
+                    word_timestamps = interpolate_word_timestamps(
+                        text, approx_start, approx_end
+                    )
+                else:
+                    word_timestamps = [
+                        WordTimestamp(
+                            text=wt.text,
+                            start=wt.start + base_offset,
+                            end=wt.end + base_offset,
+                            probability=wt.probability,
+                        )
+                        for wt in cr.words
+                    ]
+
+                seg_start = word_timestamps[0].start if word_timestamps else approx_start
+                seg_end = word_timestamps[-1].end if word_timestamps else approx_end
+
+                # clamp the previous segment against overlap
+                # (`transcribe.rs:448-459`)
+                if segments:
+                    last = segments[-1]
+                    if last.end > seg_start:
+                        last.end = seg_start
+                    if last.words:
+                        lw = last.words[-1]
+                        if lw.end > last.end:
+                            lw.end = last.end
+
+                if not text.strip():
+                    logger.warning(
+                        "empty segment in [%.2f-%.2f]", approx_start, approx_end
+                    )
+
+                previous_text = text if text.strip() else previous_text
+                if self.cfg.sequential_prompt and previous_text:
+                    prev_tokens = step.tk.encode(" " + previous_text.strip())
+
+                segment = Segment(
+                    start=seg_start,
+                    end=seg_end,
+                    text=text,
+                    words=word_timestamps or None,
+                    speaker_id=speaker_ids[j],
+                )
+                if cb.new_segment_callback:
+                    cb.new_segment_callback(segment)
+                done += 1
+                if cb.progress:
+                    pct = int(done / max(n_windows, 1) * 100)
+                    cb.progress(pct, ProgressType.TRANSCRIBE, "Transcribing audio")
+                segments.append(segment)
+
+        return segments, detected_lang
+
+    # ------------------------------------------------------------------
+    # model-cache passthroughs (`engine.rs:202-216`)
+    def delete_whisper_model(self, model_name: str) -> None:
+        self.models.delete_whisper_model(model_name)
+
+    def list_cached_models(self) -> List[str]:
+        return self.models.list_cached_models()
+
+    def delete_cached_model(self, model_name: str) -> bool:
+        return self.models.delete_cached_model(model_name)
