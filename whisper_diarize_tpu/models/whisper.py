@@ -208,6 +208,25 @@ def cast_params(params: Params, dtype) -> Params:
     return jax.tree.map(lambda a: a.astype(dtype), params)
 
 
+def init_params_fast(cfg: WhisperConfig, dtype=jnp.bfloat16, scale: float = 0.02) -> Params:
+    """Benchmark-grade init: shapes from `init_params` via eval_shape, values
+    filled on-device with cheap deterministic patterns (no host RNG over
+    hundreds of millions of floats). Throughput benchmarking only — weight
+    values don't affect runtime on static-shape decode loops."""
+    shapes = jax.eval_shape(lambda: init_params(cfg, seed=0, dtype=dtype))
+
+    def fill(path, s):
+        leaf = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if leaf.endswith(("_s",)) or leaf in ("s",):  # layernorm scales
+            return jnp.ones(s.shape, dtype)
+        # small deterministic non-zero values keep softmax/logits finite
+        n = int(np.prod(s.shape)) if s.shape else 1
+        base = (jnp.arange(n, dtype=jnp.float32) % 1009 - 504.0) / 504.0
+        return (base.reshape(s.shape) * scale).astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
+
+
 # --------------------------------------------------------------------------
 # Primitives
 # --------------------------------------------------------------------------
