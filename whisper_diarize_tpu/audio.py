@@ -25,8 +25,19 @@ class AudioFormatError(ValueError):
 def read_wav(path: str) -> np.ndarray:
     """Read a mono 16 kHz 16-bit PCM WAV file into an int16 numpy array.
 
-    Validation order and messages follow `src/audio.rs:10-20`.
+    Validation order and messages follow `src/audio.rs:10-20`. Uses the
+    native C++ reader (`native/wdt_native.cpp`) when built.
     """
+    from . import native
+
+    if native.is_available():
+        import os
+
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        out = native.read_wav(path)
+        if out is not None:
+            return out
     try:
         reader = wave.open(path, "rb")
     except FileNotFoundError:

@@ -116,7 +116,17 @@ def dtw_backtrack(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def dtw_path(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Full DTW (device DP + host backtrack) over a cost matrix [N, M]."""
+    """Full DTW over a cost matrix [N, M].
+
+    Prefers the native C++ DP (`native/wdt_native.cpp::dtw_full`) — at
+    whisper sizes (<= 448 x 1500) the host DP beats a device round-trip —
+    falling back to the on-device associative-scan DP + host backtrack."""
+    from .. import native
+
+    if native.is_available():
+        out = native.dtw_path(np.asarray(x, np.float32))
+        if out is not None:
+            return out
     cost = np.asarray(dtw_cost_matrix(jnp.asarray(x)))
     return dtw_backtrack(cost)
 
