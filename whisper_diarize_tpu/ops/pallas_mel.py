@@ -126,9 +126,20 @@ def log_mel_pallas(
 
 
 def frontend(audio: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
-    """Backend-dispatching log-mel: Pallas on TPU, jnp elsewhere."""
+    """Backend-dispatching log-mel.
+
+    The Pallas kernel is numerically exact (interpret-mode parity test) but
+    this development environment's *remote* TPU AOT compiler hangs on Mosaic
+    payloads (plain XLA jits compile fine, Mosaic lowering errors return
+    fine, successful-lowering compiles never return — and the local-AOT
+    escape hatch is rejected with a libtpu version mismatch). Until the
+    toolchain is fixed, the kernel is opt-in via WDT_ENABLE_PALLAS=1 and the
+    MXU-matmul jnp path (`ops/mel.py`) is the default on every backend.
+    """
+    import os
+
     from .mel import log_mel_spectrogram
 
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and os.environ.get("WDT_ENABLE_PALLAS") == "1":
         return log_mel_pallas(audio, n_mels=n_mels)
     return log_mel_spectrogram(audio, n_mels=n_mels)
