@@ -145,8 +145,11 @@ class TranscribeStep:
 
     # -- model invocations ---------------------------------------------------
     def mel(self, audio_batch: np.ndarray) -> jnp.ndarray:
-        """[B, N_SAMPLES] float32 -> [B, n_mels, 3000]."""
-        return log_mel_spectrogram(jnp.asarray(audio_batch), n_mels=self.cfg.n_mels)
+        """[B, N_SAMPLES] float32 -> [B, n_mels, 3000] (Pallas kernel on TPU
+        when enabled, MXU-matmul jnp path otherwise)."""
+        from .ops.pallas_mel import frontend
+
+        return frontend(jnp.asarray(audio_batch), n_mels=self.cfg.n_mels)
 
     def encode(self, mel: jnp.ndarray) -> jnp.ndarray:
         return self._encode(self.params, mel)
