@@ -69,6 +69,50 @@ logger = logging.getLogger(__name__)
 UNBOUNDED_SPEAKERS = 2**62  # usize::MAX analogue (`engine.rs:108-111`)
 
 
+class _ResumeJournal:
+    """Append-only JSONL store of per-window Segment results."""
+
+    def __init__(self, path: Path):
+        self.path = path
+        self._done: Dict[Tuple[int, int], Segment] = {}
+        if path.exists():
+            import json as _json
+
+            with open(path) as f:
+                for line in f:
+                    try:
+                        rec = _json.loads(line)
+                    except ValueError:
+                        continue
+                    words = rec.get("words")
+                    seg = Segment(
+                        start=rec["start"],
+                        end=rec["end"],
+                        text=rec["text"],
+                        words=[WordTimestamp(**w) for w in words] if words else None,
+                        speaker_id=rec.get("speaker_id"),
+                    )
+                    self._done[(rec["ci"], rec["wi"])] = seg
+        self._fh = open(path, "a")
+
+    def has(self, ci: int, wi: int) -> bool:
+        return (ci, wi) in self._done
+
+    def get(self, ci: int, wi: int) -> Segment:
+        return self._done[(ci, wi)]
+
+    def put(self, ci: int, wi: int, seg: Segment) -> None:
+        import json as _json
+
+        rec = {"ci": ci, "wi": wi, **seg.to_dict()}
+        self._fh.write(_json.dumps(rec) + "\n")
+        self._fh.flush()
+        self._done[(ci, wi)] = seg
+
+    def close(self) -> None:
+        self._fh.close()
+
+
 @dataclass
 class EngineConfig:
     """Knobs mirroring `engine.rs:9-33`, plus TPU-native extensions."""
@@ -87,6 +131,7 @@ class EngineConfig:
     dtype: Optional[str] = None  # "bfloat16" | "float32" (auto by backend)
     sequential_prompt: bool = False  # reference-parity serial prompt carry
     max_decode_tokens: int = 224
+    resume_dir: Optional[str] = None  # per-window resume journal directory
 
 
 class Engine:
@@ -323,19 +368,52 @@ class Engine:
 
         n_windows = len(windows)
         done = 0
+        # observability counters, logged at the end like the reference
+        # (`transcribe.rs:359-360,527-529`)
+        empty_segments = 0
+        total_chars = 0
+        import time as _time
+
+        stage_s = {"mel": 0.0, "encode": 0.0, "decode": 0.0, "embed": 0.0}
+
+        # optional per-window resume journal (TPU extension; the reference
+        # restarts cancelled transcriptions from scratch — SURVEY.md §5
+        # checkpoint/resume)
+        journal = self._open_resume_journal(options, windows)
 
         batch_size = 1 if self.cfg.sequential_prompt else self.cfg.batch_size
         for group, audio_batch, n_valid in iter_batches(windows, batch_size):
             if cb.is_cancelled and cb.is_cancelled():
                 break
+            if journal is not None and all(
+                journal.has(w.chunk_idx, w.window_idx) for w in group
+            ):
+                for w in group:
+                    seg = journal.get(w.chunk_idx, w.window_idx)
+                    segments.append(seg)
+                    done += 1
+                    if cb.new_segment_callback:
+                        cb.new_segment_callback(seg)
+                    if cb.progress:
+                        cb.progress(
+                            int(done / max(n_windows, 1) * 100),
+                            ProgressType.TRANSCRIBE,
+                            "Transcribing audio",
+                        )
+                continue
+            t0 = _time.perf_counter()
             mel = step.mel(audio_batch)
+            stage_s["mel"] += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
             xa = step.encode(mel)
+            stage_s["encode"] += _time.perf_counter() - t0
 
             if detected_lang is None:
                 # latch language from the first chunk (`transcribe.rs:392-395`)
                 langs = step.detect_language(xa[:1])
                 detected_lang = langs[0] if langs else "en"
 
+            t0 = _time.perf_counter()
             res = step.decode(
                 xa,
                 detected_lang,
@@ -347,15 +425,18 @@ class Engine:
             chunk_results = step.build_chunk_results(
                 res, xa, n_valid, 0, translated
             )
+            stage_s["decode"] += _time.perf_counter() - t0
 
             # batched speaker embeddings over the group's chunk samples
             speaker_ids: List[Optional[str]] = [None] * len(group)
             if emb_manager is not None and group:
                 from .models import campplus
 
+                t0 = _time.perf_counter()
                 embs = campplus.compute_embeddings_batch(
                     emb_params, [w.samples for w in group]
                 )
+                stage_s["embed"] += _time.perf_counter() - t0
                 for j in range(len(group)):
                     emb = embs[j]
                     if len(emb_manager.get_all_speakers()) == diarize_options.max_speakers:
@@ -406,9 +487,11 @@ class Engine:
                             lw.end = last.end
 
                 if not text.strip():
+                    empty_segments += 1
                     logger.warning(
                         "empty segment in [%.2f-%.2f]", approx_start, approx_end
                     )
+                total_chars += len(text)
 
                 previous_text = text if text.strip() else previous_text
                 if self.cfg.sequential_prompt and previous_text:
@@ -428,8 +511,48 @@ class Engine:
                     pct = int(done / max(n_windows, 1) * 100)
                     cb.progress(pct, ProgressType.TRANSCRIBE, "Transcribing audio")
                 segments.append(segment)
+                if journal is not None:
+                    journal.put(w.chunk_idx, w.window_idx, segment)
 
+        if journal is not None:
+            journal.close()
+        # observability parity (`transcribe.rs:527-529`) + stage timings
+        logger.debug("Empty segments: %d", empty_segments)
+        logger.debug("Total characters: %d", total_chars)
+        logger.debug("Segments: %d", len(segments))
+        logger.info(
+            "stage seconds: mel=%.3f encode=%.3f decode=%.3f embed=%.3f (%d windows)",
+            stage_s["mel"], stage_s["encode"], stage_s["decode"],
+            stage_s["embed"], n_windows,
+        )
         return segments, detected_lang
+
+    # ------------------------------------------------------------------
+    def _open_resume_journal(self, options: TranscribeOptions, windows):
+        """Per-window resume journal keyed by the option fingerprint.
+
+        The reference restarts cancelled transcriptions from scratch
+        (SURVEY.md §5: no checkpoint/resume); long-form batch jobs here can
+        resume per window when `EngineConfig.resume_dir` is set."""
+        if not self.cfg.resume_dir:
+            return None
+        import hashlib
+        import json as _json
+        from dataclasses import asdict
+
+        fingerprint = hashlib.sha1(
+            _json.dumps(
+                {
+                    "options": asdict(options),
+                    "windows": [(w.chunk_idx, w.window_idx, w.start, len(w.samples)) for w in windows],
+                    "dtw": bool(self.cfg.enable_dtw),
+                },
+                sort_keys=True, default=str,
+            ).encode()
+        ).hexdigest()[:16]
+        path = Path(self.cfg.resume_dir) / f"wdt-resume-{fingerprint}.jsonl"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        return _ResumeJournal(path)
 
     # ------------------------------------------------------------------
     # model-cache passthroughs (`engine.rs:202-216`)
