@@ -196,7 +196,10 @@ def greedy_decode(
         suppress_mask = jnp.asarray(build_suppress_mask(sp, V))
 
     cross_cache = wm.cross_kv(params, xa, cfg)
-    cache = wm.init_self_cache(cfg, B, xa.dtype)
+    # size the KV cache to the decode budget (64-aligned): every step streams
+    # the whole cache, so unused slots are pure HBM waste
+    cache_len = min(cfg.n_text_ctx, -(-(prompt_len + max_steps + 1) // 64) * 64)
+    cache = wm.init_self_cache(cfg, B, xa.dtype, cache_len)
 
     # prefill the prompt
     logits_all, cache = wm.decode_step(
@@ -339,7 +342,8 @@ def beam_decode(
 
     xa_k = rep(xa)
     cross_cache = wm.cross_kv(params, xa_k, cfg)
-    cache = wm.init_self_cache(cfg, N, xa.dtype)
+    cache_len = min(cfg.n_text_ctx, -(-(prompt_len + max_steps + 1) // 64) * 64)
+    cache = wm.init_self_cache(cfg, N, xa.dtype, cache_len)
     logits_all, cache = wm.decode_step(
         params, cfg, rep(prompt), jnp.int32(0), cache, cross_cache
     )
