@@ -1,0 +1,165 @@
+"""Command-line interface: `python -m whisper_diarize_tpu <command>`.
+
+The reference is a library whose examples double as binaries (SURVEY.md §4);
+this CLI packages the same flows: transcribe a WAV to subtitle-cue JSON,
+manage the model cache, and translate text.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_transcribe(sub):
+    p = sub.add_parser("transcribe", help="transcribe a mono 16 kHz WAV")
+    p.add_argument("audio")
+    p.add_argument("--model", default="base")
+    p.add_argument("--model-dir", default=None, help="local snapshot dir")
+    p.add_argument("--cache-dir", default="./cache")
+    p.add_argument("--lang", default="auto")
+    p.add_argument("--task", choices=["transcribe", "translate"], default="transcribe")
+    p.add_argument("--translate-to", default=None, help="Google-translate target")
+    p.add_argument("--no-vad", action="store_true")
+    p.add_argument("--diarize", action="store_true")
+    p.add_argument("--max-speakers", type=int, default=None)
+    p.add_argument("--no-dtw", action="store_true")
+    p.add_argument("--beam-size", type=int, default=5)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--max-tokens", type=int, default=224)
+    p.add_argument("--offset", type=float, default=0.0)
+    p.add_argument("--resume-dir", default=None)
+    p.add_argument("--max-lines", type=int, default=None)
+    p.add_argument("--max-chars-per-line", type=int, default=None)
+    p.add_argument("-o", "--output", default="-", help="output JSON ('-' = stdout)")
+    p.add_argument("--srt", action="store_true", help="emit SRT instead of JSON")
+    p.add_argument("--quiet", action="store_true")
+
+
+def _format_srt(cues) -> str:
+    def ts(t: float) -> str:
+        ms = int(round(t * 1000))
+        h, ms = divmod(ms, 3600_000)
+        m, ms = divmod(ms, 60_000)
+        s, ms = divmod(ms, 1000)
+        return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
+
+    lines = []
+    for i, c in enumerate(cues, 1):
+        speaker = f"[{c.speaker_id}] " if c.speaker_id else ""
+        lines.append(f"{i}\n{ts(c.start)} --> {ts(c.end)}\n{speaker}{c.text}\n")
+    return "\n".join(lines)
+
+
+def cmd_transcribe(args) -> int:
+    from .engine import Engine, EngineConfig
+    from .formatting import FormattingOverrides
+    from .types import AdvancedTranscribe, Callbacks, TranscribeOptions, segments_to_json
+
+    cfg = EngineConfig(
+        cache_dir=args.cache_dir,
+        whisper_model_path=args.model_dir,
+        enable_dtw=not args.no_dtw,
+        batch_size=args.batch,
+        max_decode_tokens=args.max_tokens,
+        resume_dir=args.resume_dir,
+    )
+    opts = TranscribeOptions(
+        model=args.model,
+        lang=args.lang,
+        offset=args.offset,
+        whisper_to_english=(args.task == "translate"),
+        translate_target=args.translate_to,
+        enable_vad=not args.no_vad and not args.diarize,
+        enable_diarize=args.diarize or None,
+        max_speakers=args.max_speakers,
+        advanced=AdvancedTranscribe(
+            sampling_strategy="greedy" if args.greedy else None,
+            best_of_or_beam_size=args.beam_size,
+        ),
+    )
+    overrides = FormattingOverrides(
+        max_lines=args.max_lines, max_chars_per_line=args.max_chars_per_line
+    )
+    cb = None
+    if not args.quiet:
+        cb = Callbacks(
+            progress=lambda pct, kind, label: print(
+                f"\r[{kind.value}] {pct:3d}% {label}", end="", file=sys.stderr
+            )
+        )
+    cues = Engine(cfg).transcribe_audio(args.audio, opts, overrides, cb)
+    if not args.quiet:
+        print(file=sys.stderr)
+    out = _format_srt(cues) if args.srt else json.dumps(
+        segments_to_json(cues), indent=2, ensure_ascii=False
+    )
+    if args.output == "-":
+        print(out)
+    else:
+        with open(args.output, "w") as f:
+            f.write(out)
+    return 0
+
+
+def cmd_models(args) -> int:
+    from . import delete_cached_model, list_cached_models
+
+    if args.action == "list":
+        for m in list_cached_models(args.cache_dir):
+            print(m)
+        return 0
+    ok = delete_cached_model(args.cache_dir, args.model)
+    print(f"deleted: {ok}")
+    return 0 if ok else 1
+
+
+def cmd_translate(args) -> int:
+    from .translate import translate_text
+
+    print(translate_text(args.text, args.src, args.dst))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+    from pathlib import Path
+
+    bench = Path(__file__).resolve().parent.parent / "bench.py"
+    runpy.run_path(str(bench), run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="whisper_diarize_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_transcribe(sub)
+
+    pm = sub.add_parser("models", help="manage the model cache")
+    pm.add_argument("action", choices=["list", "delete"])
+    pm.add_argument("model", nargs="?")
+    pm.add_argument("--cache-dir", default="./cache")
+
+    pt = sub.add_parser("translate", help="translate text (network required)")
+    pt.add_argument("text")
+    pt.add_argument("src")
+    pt.add_argument("dst")
+
+    sub.add_parser("bench", help="run the TPU throughput benchmark")
+
+    args = parser.parse_args(argv)
+    if args.command == "transcribe":
+        return cmd_transcribe(args)
+    if args.command == "models":
+        return cmd_models(args)
+    if args.command == "translate":
+        return cmd_translate(args)
+    if args.command == "bench":
+        return cmd_bench(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
