@@ -96,3 +96,22 @@ def test_sinusoids():
     assert pos.shape == (1500, 64)
     np.testing.assert_allclose(pos[0, :32], 0.0, atol=1e-7)  # sin(0)
     np.testing.assert_allclose(pos[0, 32:], 1.0, atol=1e-7)  # cos(0)
+
+
+def test_encoder_compact_probs_accuracy(params):
+    """bf16 params trigger compact (bf16) attention-prob buffers; the
+    encoder output must stay close to the f32 reference."""
+    import jax
+
+    cfg = TINY_TEST_CFG
+    mel = jnp.asarray(
+        np.random.default_rng(9).standard_normal((1, 80, 3000)), jnp.float32
+    )
+    ref = wm.encode(params, mel, cfg)  # f32 params -> full-precision path
+    pbf = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    out = wm.encode(pbf, mel.astype(jnp.bfloat16), cfg).astype(jnp.float32)
+    # bf16 weights themselves dominate the error budget; compact probs must
+    # not blow it up
+    err = float(jnp.abs(ref - out).max())
+    scale = float(jnp.abs(ref).max())
+    assert err < 0.1 * scale, (err, scale)

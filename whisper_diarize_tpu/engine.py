@@ -189,10 +189,7 @@ class Engine:
         dc = dec.DecodeConfig(
             beam_size=beam,
             temperature=temperature,
-            max_tokens=min(
-                self.cfg.max_decode_tokens,
-                (adv.max_text_ctx if adv and adv.max_text_ctx else 448),
-            ),
+            max_tokens=self.cfg.max_decode_tokens,
             blank_id=blank_id,
         )
         return TranscribeStep(
@@ -201,6 +198,8 @@ class Engine:
             enable_dtw=bool(self.cfg.enable_dtw),
             decode_config=dc,
             strategy=strategy,
+            # whisper.cpp n_max_text_ctx: caps carried prompt context
+            max_text_ctx=(adv.max_text_ctx if adv else None),
         )
 
     # ------------------------------------------------------------------
@@ -291,6 +290,16 @@ class Engine:
             ]
 
         logger.info("Transcribing %d segments", len(speech_segments))
+        if self.cfg.enable_dtw:
+            # context-creation diagnostic parity (`transcribe.rs:131-132`);
+            # informational here — the JAX DTW needs only the NxM cost matrix
+            from .utils import calculate_dtw_mem_size
+
+            num_samples = sum(len(s.samples) for s in speech_segments)
+            logger.debug(
+                "dtw mem size (reference model): %d MB",
+                calculate_dtw_mem_size(num_samples) // (1024 * 1024),
+            )
 
         step = self._make_step(params, model_cfg, tokenizer, options)
 

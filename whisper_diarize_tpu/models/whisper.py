@@ -250,16 +250,39 @@ def _unheads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
 
 
-def _attn(q, k, v, mask=None):
-    """q,k,v: [B, H, T, Dh] -> [B, H, Tq, Dh], softmax in f32."""
+def _attn(q, k, v, mask=None, compact_probs=False):
+    """q,k,v: [B, H, T, Dh] -> [B, H, Tq, Dh].
+
+    Default: f32 logits + f32 softmax (decode path: tiny Tq, full accuracy).
+    compact_probs=True keeps the [Tq, Tk] logits/probs buffers in the value
+    dtype (bf16 on TPU) with an f32 normalizer — at encoder size
+    (B16 x H20 x 1500^2) the f32 buffers alone are ~2.9 GB/layer of HBM
+    traffic, the dominant encoder cost. MXU accumulation stays f32 either
+    way (preferred_element_type only sets the result buffer type).
+    """
     scale = q.shape[-1] ** -0.25
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q * scale, k * scale, preferred_element_type=jnp.float32
-    )
-    if mask is not None:
-        logits = logits + mask
-    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32).astype(v.dtype)
+    if not compact_probs:
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k * scale,
+            preferred_element_type=jnp.float32,
+        )
+        if mask is not None:
+            logits = logits + mask
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    else:
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k * scale,
+            preferred_element_type=v.dtype,
+        )
+        if mask is not None:
+            logits = logits + mask.astype(v.dtype)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        w = (e / s.astype(v.dtype)).astype(v.dtype)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -290,12 +313,15 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
 
     H = cfg.n_audio_head
 
+    # compact (bf16) attention-prob buffers only when compute is low-precision
+    compact = dtype != jnp.float32
+
     def layer(x, blk):
         h = _ln(x, blk["ln1_s"], blk["ln1_b"])
         q = _heads(h @ blk["q_w"] + blk["q_b"], H)
         k = _heads(h @ blk["k_w"], H)
         v = _heads(h @ blk["v_w"] + blk["v_b"], H)
-        x = x + _unheads(_attn(q, k, v)) @ blk["o_w"] + blk["o_b"]
+        x = x + _unheads(_attn(q, k, v, compact_probs=compact)) @ blk["o_w"] + blk["o_b"]
         h = _ln(x, blk["ln2_s"], blk["ln2_b"])
         h = jax.nn.gelu(h @ blk["fc1_w"] + blk["fc1_b"])
         x = x + h @ blk["fc2_w"] + blk["fc2_b"]

@@ -142,24 +142,65 @@ def frame_signal(x: jnp.ndarray, frame_len: int, hop: int, n_frames: int) -> jnp
 # Whisper log-mel
 # --------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=4)
+def _split_hann_bases():
+    """Hann DFT bases split by window thirds (160/160/80->160 rows): the
+    hop-160 framing then needs no gather — frame i is row i ‖ row i+1 ‖ the
+    first half of row i+2 of the [rows, 160] audio view, so the windowed DFT
+    is three accumulated GEMMs on contiguous reshapes (same trick as the
+    Pallas kernel in ops/pallas_mel.py)."""
+    C, S = _dft_bases(N_FFT, "hann")
+
+    def third(M, j):
+        part = M[j * HOP_LENGTH : (j + 1) * HOP_LENGTH]
+        if part.shape[0] < HOP_LENGTH:
+            part = np.concatenate(
+                [part, np.zeros((HOP_LENGTH - part.shape[0], M.shape[1]), M.dtype)]
+            )
+        return np.ascontiguousarray(part)
+
+    return tuple(third(C, j) for j in range(3)) + tuple(third(S, j) for j in range(3))
+
+
 @functools.partial(jax.jit, static_argnames=("n_mels", "n_frames"))
 def _log_mel_impl(audio: jnp.ndarray, mel_fb_t: jnp.ndarray, n_mels: int, n_frames: int) -> jnp.ndarray:
-    # center=True reflect padding by n_fft//2 on both sides
+    # center=True reflect padding by n_fft//2 on both sides, then zero-pad so
+    # the row view covers the last frame's 400-sample window
     pad = N_FFT // 2
     x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect")
-    frames = frame_signal(x, N_FFT, HOP_LENGTH, n_frames)  # [..., F, 400]
-    C, S = _dft_bases(N_FFT, "hann")
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    B = x.shape[0]
+    total_rows = n_frames + 2
+    need = total_rows * HOP_LENGTH
+    x = jnp.pad(x, ((0, 0), (0, max(0, need - x.shape[-1]))))[:, :need]
+    rows = x.reshape(B, total_rows, HOP_LENGTH)
+    a = rows[:, 0:n_frames]            # frame samples +0..160
+    b = rows[:, 1 : n_frames + 1]      # +160..320
+    c = rows[:, 2 : n_frames + 2]      # +320..480 (basis rows 400+ are zero)
+
+    c0, c1, c2, s0, s1, s2 = (jnp.asarray(m) for m in _split_hann_bases())
     # full f32 MXU passes: the log10 + dynamic-range clamp amplify bf16 error
     hi = jax.lax.Precision.HIGHEST
-    re = jnp.matmul(frames, jnp.asarray(C), precision=hi)  # [..., F, 201]
-    im = jnp.matmul(frames, jnp.asarray(S), precision=hi)
+    re = (
+        jnp.matmul(a, c0, precision=hi)
+        + jnp.matmul(b, c1, precision=hi)
+        + jnp.matmul(c, c2, precision=hi)
+    )  # [B, F, 201]
+    im = (
+        jnp.matmul(a, s0, precision=hi)
+        + jnp.matmul(b, s1, precision=hi)
+        + jnp.matmul(c, s2, precision=hi)
+    )
     power = re * re + im * im
-    mel = jnp.matmul(power, mel_fb_t, precision=hi)  # [..., F, n_mels]
+    mel = jnp.matmul(power, mel_fb_t, precision=hi)  # [B, F, n_mels]
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     maxv = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
     log_spec = jnp.maximum(log_spec, maxv - 8.0)
     log_spec = (log_spec + 4.0) / 4.0
-    return jnp.swapaxes(log_spec, -1, -2)  # [..., n_mels, F]
+    out = jnp.swapaxes(log_spec, -1, -2)  # [B, n_mels, F]
+    return out[0] if squeeze else out
 
 
 def log_mel_spectrogram(

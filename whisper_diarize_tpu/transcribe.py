@@ -126,6 +126,7 @@ class TranscribeStep:
         enable_dtw: bool = True,
         decode_config: Optional[dec.DecodeConfig] = None,
         strategy: str = "beam_search",
+        max_text_ctx: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -134,6 +135,9 @@ class TranscribeStep:
         self.enable_dtw = enable_dtw
         self.dc = decode_config or dec.DecodeConfig()
         self.strategy = strategy
+        # whisper.cpp's n_max_text_ctx (`transcribe.rs:71-73`): cap on the
+        # previous-text tokens carried into the prompt
+        self.max_text_ctx = max_text_ctx
         self.heads = wm.alignment_heads_for(model_name, cfg)
         self._suppress = jnp.asarray(
             dec.build_suppress_mask(self.sp, cfg.n_vocab, tokenizer.non_speech_tokens())
@@ -167,7 +171,9 @@ class TranscribeStep:
         prefix: List[int] = []
         if prev_tokens:
             keep = self.cfg.n_text_ctx // 2 - 1
-            prefix = [self.sp.sot_prev] + list(prev_tokens)[-keep:]
+            if self.max_text_ctx is not None:
+                keep = min(keep, max(self.max_text_ctx, 0))
+            prefix = [self.sp.sot_prev] + list(prev_tokens)[-keep:] if keep else []
         prompt_list = prefix + sot_seq
         prompt = jnp.asarray(np.tile(np.array(prompt_list, np.int32), (B, 1)))
         sot_pos = len(prefix)  # index of <|startoftranscript|> in the prompt
