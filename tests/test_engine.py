@@ -242,3 +242,35 @@ def test_hf_conversion(tmp_path):
     assert xa.shape == (1, 1500, d)
     # linears were transposed correctly: q_w is [L, in, out]
     assert params["decoder"]["blocks"]["q_w"].shape == (L, d, d)
+
+
+def test_temperature_fallback_merges_failed_rows(snapshot_dir, tmp_path, wav_path):
+    """With the random model every window fails the logprob threshold, so the
+    fallback path must run retries and still return valid structure."""
+    eng = make_engine(snapshot_dir, tmp_path, temperature_fallback=True)
+    opts = TranscribeOptions(enable_vad=False, lang="en")
+    cues = eng.transcribe_audio(wav_path, opts)
+    assert isinstance(cues, list)
+
+
+def test_decode_with_fallback_unit(snapshot_dir):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whisper_diarize_tpu.models import weights as wmod
+    from whisper_diarize_tpu.ops import decode as dec
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+    from whisper_diarize_tpu.transcribe import TranscribeStep
+
+    params, cfg = wmod.load_model(snapshot_dir)
+    step = TranscribeStep(
+        params, cfg, DebugTokenizer(), enable_dtw=False,
+        decode_config=dec.DecodeConfig(max_tokens=8, blank_id=32),
+        strategy="greedy",
+    )
+    mel = step.mel(np.zeros((2, 480000), np.float32))
+    xa = step.encode(mel)
+    res = step.decode_with_fallback(xa, "en", "transcribe",
+                                    temperatures=(0.0, 0.5, 1.0))
+    assert np.asarray(res.tokens).shape[0] == 2
+    assert np.isfinite(np.asarray(res.avg_logprob)).all()

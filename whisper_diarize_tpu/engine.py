@@ -132,6 +132,10 @@ class EngineConfig:
     sequential_prompt: bool = False  # reference-parity serial prompt carry
     max_decode_tokens: int = 224
     resume_dir: Optional[str] = None  # per-window resume journal directory
+    # whisper.cpp-equivalent decode quality policies (applied inside
+    # state.full in the reference; explicit knobs here)
+    temperature_fallback: bool = True  # retry degenerate windows at t>0
+    no_speech_threshold: float = 0.6  # with logprob < -1 -> treat as silence
 
 
 class Engine:
@@ -423,7 +427,10 @@ class Engine:
                 detected_lang = langs[0] if langs else "en"
 
             t0 = _time.perf_counter()
-            res = step.decode(
+            decode_fn = (
+                step.decode_with_fallback if self.cfg.temperature_fallback else step.decode
+            )
+            res = decode_fn(
                 xa,
                 detected_lang,
                 task,
@@ -459,6 +466,21 @@ class Engine:
             for j, w in enumerate(group):
                 cr = chunk_results[j]
                 base_offset = w.start + user_offset
+
+                # no-speech suppression (whisper policy: high P(<|nospeech|>)
+                # AND low avg logprob -> the window is silence)
+                if (
+                    cr.no_speech_prob > self.cfg.no_speech_threshold
+                    and cr.avg_logprob < -1.0
+                ):
+                    done += 1
+                    if cb.progress:
+                        cb.progress(
+                            int(done / max(n_windows, 1) * 100),
+                            ProgressType.TRANSCRIBE,
+                            "Transcribing audio",
+                        )
+                    continue
 
                 text = cr.text.lstrip()
                 approx_start = base_offset + cr.seg_start

@@ -188,6 +188,73 @@ class TranscribeStep:
             len(prompt_list), suppress_mask=self._suppress, sot_pos=sot_pos,
         )
 
+    def decode_with_fallback(
+        self,
+        xa: jnp.ndarray,
+        language: Optional[str],
+        task: str,
+        prev_tokens: Optional[Sequence[int]] = None,
+        temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        compression_ratio_threshold: float = 2.4,
+        logprob_threshold: float = -1.0,
+    ) -> dec.DecodeResult:
+        """Temperature-fallback decoding (whisper.cpp runs the same policy
+        inside `state.full`, which the reference relies on at
+        `transcribe.rs:389`): decode at t=0 (beam/greedy), and re-decode
+        windows whose text is degenerate (gzip compression ratio above
+        threshold) or improbable (avg logprob below threshold) at increasing
+        temperatures, keeping per-window best results.
+        """
+        import zlib
+
+        import jax as _jax
+
+        result = self.decode(xa, language, task, prev_tokens=prev_tokens)
+
+        def failures(res: dec.DecodeResult) -> np.ndarray:
+            toks = np.asarray(res.tokens)
+            lens = np.asarray(res.lengths)
+            avg = np.asarray(res.avg_logprob)
+            bad = np.zeros(toks.shape[0], bool)
+            for b in range(toks.shape[0]):
+                text = self.tk.decode([int(t) for t in toks[b, : lens[b]]])
+                data = text.encode("utf-8")
+                if len(data) > 16:
+                    ratio = len(data) / len(zlib.compress(data))
+                    if ratio > compression_ratio_threshold:
+                        bad[b] = True
+                if avg[b] < logprob_threshold:
+                    bad[b] = True
+            return bad
+
+        bad = failures(result)
+        for ti, temp in enumerate(temperatures[1:], start=1):
+            if not bad.any():
+                break
+            retry_dc = dataclasses.replace(
+                self.dc, temperature=float(temp), beam_size=1
+            )
+            sot_seq = self.tk.sot_sequence(task=task, language=language or "en")
+            prompt = jnp.asarray(
+                np.tile(np.array(sot_seq, np.int32), (xa.shape[0], 1))
+            )
+            retry = dec.greedy_decode(
+                self.params, self.cfg, retry_dc, self.sp, xa, prompt,
+                len(sot_seq), rng=_jax.random.PRNGKey(ti),
+                suppress_mask=self._suppress, sot_pos=0,
+            )
+            # merge retry rows into the kept result where the old row failed
+            sel = jnp.asarray(bad)
+            merged = {}
+            for field_ in dataclasses.fields(dec.DecodeResult):
+                old = getattr(result, field_.name)
+                new = getattr(retry, field_.name)
+                shape_sel = sel.reshape((-1,) + (1,) * (old.ndim - 1))
+                merged[field_.name] = jnp.where(shape_sel, new, old)
+            result = dec.DecodeResult(**merged)
+            bad = failures(result) & bad  # only previously-bad rows re-judged
+        return result
+
     def detect_language(self, xa: jnp.ndarray) -> List[str]:
         idx, _ = dec.detect_language(self.params, self.cfg, self.sp, xa)
         from .tokenizer import LANGUAGES
