@@ -52,19 +52,20 @@ def main() -> None:
         np.tile(np.array(tk.sot_sequence(language="en"), np.int32), (BATCH, 1))
     )
 
-    @jax.jit
-    def encode_fn(params, audio):
-        mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
-        return wm.encode(params, mel.astype(dtype), cfg)
-
     suppress_dev = jnp.asarray(suppress)
 
-    def run_once():
-        xa = encode_fn(params, audio)
-        res = dec.greedy_decode(
+    @jax.jit
+    def full_step(params, audio, prompt, suppress):
+        # ONE dispatch: fused mel -> encoder -> KV-cached greedy decode
+        mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+        xa = wm.encode(params, mel.astype(dtype), cfg)
+        return dec.greedy_decode(
             params, cfg, dc, sp, xa, prompt, prompt.shape[1],
-            suppress_mask=suppress_dev,
+            suppress_mask=suppress,
         )
+
+    def run_once():
+        res = full_step(params, audio, prompt, suppress_dev)
         # NOTE: on the tunneled axon backend block_until_ready returns before
         # execution completes; a host fetch is the only reliable sync.
         np.asarray(res.tokens)
