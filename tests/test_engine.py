@@ -274,3 +274,35 @@ def test_decode_with_fallback_unit(snapshot_dir):
                                     temperatures=(0.0, 0.5, 1.0))
     assert np.asarray(res.tokens).shape[0] == 2
     assert np.isfinite(np.asarray(res.avg_logprob)).all()
+
+
+def test_transcribe_audio_batch(snapshot_dir, tmp_path, wav_path):
+    """Multi-stream batch: two files through shared decode batches."""
+    from whisper_diarize_tpu.audio import write_wav
+
+    rng = np.random.default_rng(7)
+    wav2 = str(tmp_path / "second.wav")
+    x = (rng.standard_normal(16000 * 2) * 5000).astype(np.int16)
+    write_wav(wav2, x)
+
+    eng = make_engine(snapshot_dir, tmp_path)
+    opts = TranscribeOptions(enable_vad=False, lang="en")
+    results = eng.transcribe_audio_batch([wav_path, wav2], opts)
+    assert len(results) == 2
+    for cues in results:
+        assert isinstance(cues, list)
+    # single-stream result matches the batched result for the same file
+    single = eng.transcribe_audio(wav_path, opts)
+    assert [c.text for c in single] == [c.text for c in results[0]]
+
+
+def test_transcribe_audio_batch_rejects_sequential(snapshot_dir, tmp_path, wav_path):
+    eng = make_engine(snapshot_dir, tmp_path, sequential_prompt=True)
+    with pytest.raises(ValueError, match="sequential_prompt"):
+        eng.transcribe_audio_batch([wav_path], TranscribeOptions(enable_vad=False))
+
+
+def test_transcribe_audio_batch_missing_file(snapshot_dir, tmp_path, wav_path):
+    eng = make_engine(snapshot_dir, tmp_path)
+    with pytest.raises(FileNotFoundError):
+        eng.transcribe_audio_batch([wav_path, "/nope.wav"], TranscribeOptions())

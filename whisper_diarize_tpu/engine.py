@@ -74,7 +74,7 @@ class _ResumeJournal:
 
     def __init__(self, path: Path):
         self.path = path
-        self._done: Dict[Tuple[int, int], Segment] = {}
+        self._done: Dict[Tuple[int, int, int], Segment] = {}
         if path.exists():
             import json as _json
 
@@ -92,22 +92,22 @@ class _ResumeJournal:
                         words=[WordTimestamp(**w) for w in words] if words else None,
                         speaker_id=rec.get("speaker_id"),
                     )
-                    self._done[(rec["ci"], rec["wi"])] = seg
+                    self._done[(rec["ci"], rec["wi"], rec.get("si", 0))] = seg
         self._fh = open(path, "a")
 
-    def has(self, ci: int, wi: int) -> bool:
-        return (ci, wi) in self._done
+    def has(self, ci: int, wi: int, si: int = 0) -> bool:
+        return (ci, wi, si) in self._done
 
-    def get(self, ci: int, wi: int) -> Segment:
-        return self._done[(ci, wi)]
+    def get(self, ci: int, wi: int, si: int = 0) -> Segment:
+        return self._done[(ci, wi, si)]
 
-    def put(self, ci: int, wi: int, seg: Segment) -> None:
+    def put(self, ci: int, wi: int, seg: Segment, si: int = 0) -> None:
         import json as _json
 
-        rec = {"ci": ci, "wi": wi, **seg.to_dict()}
+        rec = {"ci": ci, "wi": wi, "si": si, **seg.to_dict()}
         self._fh.write(_json.dumps(rec) + "\n")
         self._fh.flush()
-        self._done[(ci, wi)] = seg
+        self._done[(ci, wi, si)] = seg
 
     def close(self) -> None:
         self._fh.close()
@@ -335,6 +335,127 @@ class Engine:
         return await asyncio.to_thread(self.transcribe_audio, *args, **kwargs)
 
     # ------------------------------------------------------------------
+    def transcribe_audio_batch(
+        self,
+        audio_paths: List[str],
+        options: Optional[TranscribeOptions] = None,
+        formatting_overrides: Optional[FormattingOverrides] = None,
+        callbacks: Optional[Callbacks] = None,
+    ) -> List[List[Segment]]:
+        """Transcribe many files at once, filling decode batches across
+        streams (BASELINE config 5: 16 parallel audio streams saturating the
+        chip). No reference counterpart — the reference loops files through
+        one serial engine. Per stream: its own language latch, VAD oracle,
+        speaker clusters, formatter preset. `sequential_prompt` is
+        incompatible with cross-stream batching and is rejected."""
+        if self.cfg.sequential_prompt:
+            raise ValueError(
+                "sequential_prompt carries text across windows of one stream "
+                "and cannot batch across streams; use transcribe_audio"
+            )
+        options = options or TranscribeOptions()
+        cb = callbacks or Callbacks()
+
+        for p in audio_paths:
+            if not os.path.exists(p):
+                raise FileNotFoundError("audio file doesn't exist")
+
+        params, model_cfg, tokenizer = self._load_whisper(
+            options, cb.progress, cb.is_cancelled
+        )
+        step = self._make_step(params, model_cfg, tokenizer, options)
+
+        per_stream_segments: List[List[SpeechSegment]] = []
+        vad_masks: List[Optional[VadMaskOracle]] = []
+        diarize_options: Optional[DiarizeOptions] = None
+        seg_params = None
+
+        if options.enable_diarize:
+            if (
+                self.cfg.diarize_segment_model_path
+                and self.cfg.diarize_embedding_model_path
+            ):
+                seg_path = self.cfg.diarize_segment_model_path
+                emb_path = self.cfg.diarize_embedding_model_path
+            else:
+                seg_p, emb_p = self.models.ensure_diarize_models(
+                    progress=cb.progress, is_cancelled=cb.is_cancelled
+                )
+                seg_path, emb_path = str(seg_p), str(emb_p)
+            adv = options.advanced
+            diarize_options = DiarizeOptions(
+                segment_model_path=seg_path,
+                embedding_model_path=emb_path,
+                threshold=(adv.diarize_threshold if adv else None) or 0.5,
+                max_speakers=(
+                    UNBOUNDED_SPEAKERS if not options.max_speakers else options.max_speakers
+                ),
+            )
+            from .models import segmentation as segmentation_mod
+
+            seg_params = (
+                segmentation_mod.load_params(seg_path)
+                if seg_path and os.path.exists(seg_path) and seg_path.endswith(".npz")
+                else segmentation_mod.init_params()
+            )
+
+        vad_model = None
+        if options.enable_vad and not options.enable_diarize:
+            vad_model = self.cfg.vad_model_path
+            if vad_model is None:
+                try:
+                    vad_model = str(
+                        self.models.ensure_vad_model(cb.progress, cb.is_cancelled)
+                    )
+                except Exception:
+                    logger.warning("VAD weights unavailable; using random init")
+
+        for path in audio_paths:
+            samples = audio_io.read_wav(path)
+            if options.enable_diarize:
+                from . import diarize as diarize_mod
+
+                per_stream_segments.append(
+                    diarize_mod.get_segments(samples, SAMPLE_RATE, seg_params)
+                )
+                vad_masks.append(None)
+            elif options.enable_vad:
+                from . import vad as vad_mod
+
+                mask, segs = vad_mod.get_segments(vad_model, samples)
+                per_stream_segments.append(segs)
+                vad_masks.append(VadMaskOracle(mask))
+            else:
+                per_stream_segments.append(
+                    [
+                        SpeechSegment(
+                            start=0.0,
+                            end=len(samples) / SAMPLE_RATE,
+                            samples=samples,
+                        )
+                    ]
+                )
+                vad_masks.append(None)
+
+        seg_lists, langs = self._run_pipeline_multi(
+            step, per_stream_segments, options, diarize_options, cb
+        )
+
+        out: List[List[Segment]] = []
+        whisper_to_en = bool(options.whisper_to_english)
+        for si, segments in enumerate(seg_lists):
+            effective_lang = langs[si] or (options.lang or "auto")
+            if not whisper_to_en and options.translate_target:
+                translate_mod.translate_segments(
+                    segments, effective_lang, options.translate_target, cb.progress
+                )
+            pp_cfg = PostProcessConfig.for_language(effective_lang)
+            if formatting_overrides is not None:
+                apply_overrides(pp_cfg, formatting_overrides)
+            out.append(process_segments(segments, pp_cfg, vad_masks[si]))
+        return out
+
+    # ------------------------------------------------------------------
     def _run_pipeline(
         self,
         step,
@@ -343,21 +464,42 @@ class Engine:
         diarize_options: Optional[DiarizeOptions],
         cb: Callbacks,
     ) -> Tuple[List[Segment], Optional[str]]:
-        """Batched equivalent of `run_transcription_pipeline`
-        (`transcribe.rs:323-535`)."""
+        """Single-stream pipeline (the reference's shape,
+        `transcribe.rs:323-535`): one stream through the multi-stream core."""
+        seg_lists, langs = self._run_pipeline_multi(
+            step, [speech_segments], options, diarize_options, cb
+        )
+        return seg_lists[0], langs[0]
+
+    def _run_pipeline_multi(
+        self,
+        step,
+        per_stream_segments: List[List[SpeechSegment]],
+        options: TranscribeOptions,
+        diarize_options: Optional[DiarizeOptions],
+        cb: Callbacks,
+    ) -> Tuple[List[List[Segment]], List[Optional[str]]]:
+        """Batched multi-stream pipeline: windows from ALL streams fill the
+        same decode batches (BASELINE config 5: 16 parallel audio streams).
+        Language latches per stream; diarization speakers cluster per
+        stream; overlap clamping and prompt carry are per stream."""
         import jax.numpy as jnp
 
+        from .parallel.batching import plan_windows_multi
+
+        S = len(per_stream_segments)
         user_offset = options.offset or 0.0
         translated = bool(options.whisper_to_english)
         task = "translate" if translated else "transcribe"
 
-        detected_lang: Optional[str] = None
-        if options.lang and options.lang != "auto":
-            detected_lang = options.lang
+        preset_lang = (
+            options.lang if options.lang and options.lang != "auto" else None
+        )
+        detected_langs: List[Optional[str]] = [preset_lang] * S
 
-        # diarization state
+        # diarization state (embedding net shared; speaker clusters per stream)
         emb_params = None
-        emb_manager = None
+        emb_managers: List[Optional[Any]] = [None] * S
         if diarize_options is not None:
             from .diarize import EmbeddingManager
             from .models import campplus
@@ -368,11 +510,13 @@ class Engine:
                 if emb_path and os.path.exists(emb_path) and emb_path.endswith(".npz")
                 else campplus.init_params()
             )
-            emb_manager = EmbeddingManager(diarize_options.max_speakers)
+            emb_managers = [
+                EmbeddingManager(diarize_options.max_speakers) for _ in range(S)
+            ]
 
-        windows = plan_windows(speech_segments)
-        segments: List[Segment] = []
-        previous_text: Optional[str] = None
+        windows = plan_windows_multi(per_stream_segments)
+        seg_lists: List[List[Segment]] = [[] for _ in range(S)]
+        previous_texts: List[Optional[str]] = [None] * S
         prev_tokens: Optional[List[int]] = None
         adv = options.advanced
         init_prompt = adv.init_prompt if adv else None
@@ -394,25 +538,28 @@ class Engine:
         # checkpoint/resume)
         journal = self._open_resume_journal(options, windows)
 
+        def tick_progress():
+            if cb.progress:
+                cb.progress(
+                    int(done / max(n_windows, 1) * 100),
+                    ProgressType.TRANSCRIBE,
+                    "Transcribing audio",
+                )
+
         batch_size = 1 if self.cfg.sequential_prompt else self.cfg.batch_size
         for group, audio_batch, n_valid in iter_batches(windows, batch_size):
             if cb.is_cancelled and cb.is_cancelled():
                 break
             if journal is not None and all(
-                journal.has(w.chunk_idx, w.window_idx) for w in group
+                journal.has(w.chunk_idx, w.window_idx, w.stream_idx) for w in group
             ):
                 for w in group:
-                    seg = journal.get(w.chunk_idx, w.window_idx)
-                    segments.append(seg)
+                    seg = journal.get(w.chunk_idx, w.window_idx, w.stream_idx)
+                    seg_lists[w.stream_idx].append(seg)
                     done += 1
                     if cb.new_segment_callback:
                         cb.new_segment_callback(seg)
-                    if cb.progress:
-                        cb.progress(
-                            int(done / max(n_windows, 1) * 100),
-                            ProgressType.TRANSCRIBE,
-                            "Transcribing audio",
-                        )
+                    tick_progress()
                 continue
             t0 = _time.perf_counter()
             mel = step.mel(audio_batch)
@@ -421,10 +568,19 @@ class Engine:
             xa = step.encode(mel)
             stage_s["encode"] += _time.perf_counter() - t0
 
-            if detected_lang is None:
-                # latch language from the first chunk (`transcribe.rs:392-395`)
-                langs = step.detect_language(xa[:1])
-                detected_lang = langs[0] if langs else "en"
+            # latch language per stream from its first window
+            # (`transcribe.rs:392-395`)
+            if any(
+                detected_langs[w.stream_idx] is None for w in group
+            ):
+                langs = step.detect_language(xa[: len(group)])
+                for j, w in enumerate(group):
+                    if detected_langs[w.stream_idx] is None:
+                        detected_langs[w.stream_idx] = langs[j] if langs else "en"
+
+            row_langs = [
+                detected_langs[w.stream_idx] or "en" for w in group
+            ] + ["en"] * (audio_batch.shape[0] - len(group))
 
             t0 = _time.perf_counter()
             decode_fn = (
@@ -432,7 +588,7 @@ class Engine:
             )
             res = decode_fn(
                 xa,
-                detected_lang,
+                row_langs,
                 task,
                 prev_tokens=prev_tokens if self.cfg.sequential_prompt else (
                     step.tk.encode(" " + init_prompt.strip()) if init_prompt else None
@@ -445,7 +601,7 @@ class Engine:
 
             # batched speaker embeddings over the group's chunk samples
             speaker_ids: List[Optional[str]] = [None] * len(group)
-            if emb_manager is not None and group:
+            if diarize_options is not None and group:
                 from .models import campplus
 
                 t0 = _time.perf_counter()
@@ -453,18 +609,19 @@ class Engine:
                     emb_params, [w.samples for w in group]
                 )
                 stage_s["embed"] += _time.perf_counter() - t0
-                for j in range(len(group)):
+                for j, w in enumerate(group):
+                    manager = emb_managers[w.stream_idx]
                     emb = embs[j]
-                    if len(emb_manager.get_all_speakers()) == diarize_options.max_speakers:
-                        sid = emb_manager.get_best_speaker_match(emb)
+                    if len(manager.get_all_speakers()) == diarize_options.max_speakers:
+                        sid = manager.get_best_speaker_match(emb)
                     else:
-                        sid = emb_manager.search_speaker(
-                            emb, diarize_options.threshold
-                        )
+                        sid = manager.search_speaker(emb, diarize_options.threshold)
                     speaker_ids[j] = str(sid) if sid is not None else "?"
 
             for j, w in enumerate(group):
                 cr = chunk_results[j]
+                si = w.stream_idx
+                segments = seg_lists[si]
                 base_offset = w.start + user_offset
 
                 # no-speech suppression (whisper policy: high P(<|nospeech|>)
@@ -474,12 +631,7 @@ class Engine:
                     and cr.avg_logprob < -1.0
                 ):
                     done += 1
-                    if cb.progress:
-                        cb.progress(
-                            int(done / max(n_windows, 1) * 100),
-                            ProgressType.TRANSCRIBE,
-                            "Transcribing audio",
-                        )
+                    tick_progress()
                     continue
 
                 text = cr.text.lstrip()
@@ -506,7 +658,7 @@ class Engine:
                 seg_start = word_timestamps[0].start if word_timestamps else approx_start
                 seg_end = word_timestamps[-1].end if word_timestamps else approx_end
 
-                # clamp the previous segment against overlap
+                # clamp the previous segment of THIS stream against overlap
                 # (`transcribe.rs:448-459`)
                 if segments:
                     last = segments[-1]
@@ -524,9 +676,9 @@ class Engine:
                     )
                 total_chars += len(text)
 
-                previous_text = text if text.strip() else previous_text
-                if self.cfg.sequential_prompt and previous_text:
-                    prev_tokens = step.tk.encode(" " + previous_text.strip())
+                previous_texts[si] = text if text.strip() else previous_texts[si]
+                if self.cfg.sequential_prompt and previous_texts[si]:
+                    prev_tokens = step.tk.encode(" " + previous_texts[si].strip())
 
                 segment = Segment(
                     start=seg_start,
@@ -538,25 +690,23 @@ class Engine:
                 if cb.new_segment_callback:
                     cb.new_segment_callback(segment)
                 done += 1
-                if cb.progress:
-                    pct = int(done / max(n_windows, 1) * 100)
-                    cb.progress(pct, ProgressType.TRANSCRIBE, "Transcribing audio")
+                tick_progress()
                 segments.append(segment)
                 if journal is not None:
-                    journal.put(w.chunk_idx, w.window_idx, segment)
+                    journal.put(w.chunk_idx, w.window_idx, segment, si)
 
         if journal is not None:
             journal.close()
         # observability parity (`transcribe.rs:527-529`) + stage timings
         logger.debug("Empty segments: %d", empty_segments)
         logger.debug("Total characters: %d", total_chars)
-        logger.debug("Segments: %d", len(segments))
+        logger.debug("Segments: %d", sum(len(s) for s in seg_lists))
         logger.info(
-            "stage seconds: mel=%.3f encode=%.3f decode=%.3f embed=%.3f (%d windows)",
+            "stage seconds: mel=%.3f encode=%.3f decode=%.3f embed=%.3f (%d windows, %d streams)",
             stage_s["mel"], stage_s["encode"], stage_s["decode"],
-            stage_s["embed"], n_windows,
+            stage_s["embed"], n_windows, S,
         )
-        return segments, detected_lang
+        return seg_lists, detected_langs
 
     # ------------------------------------------------------------------
     def _open_resume_journal(self, options: TranscribeOptions, windows):
@@ -575,7 +725,10 @@ class Engine:
             _json.dumps(
                 {
                     "options": asdict(options),
-                    "windows": [(w.chunk_idx, w.window_idx, w.start, len(w.samples)) for w in windows],
+                    "windows": [
+                        (w.stream_idx, w.chunk_idx, w.window_idx, w.start, len(w.samples))
+                        for w in windows
+                    ],
                     "dtw": bool(self.cfg.enable_dtw),
                 },
                 sort_keys=True, default=str,

@@ -28,10 +28,13 @@ class ChunkWindow:
     window_idx: int  # position of this window within its chunk
     start: float  # absolute start time (seconds) in the full audio
     samples: np.ndarray  # int16, <= N_SAMPLES
+    stream_idx: int = 0  # which audio stream this window belongs to
 
 
 def plan_windows(
-    segments: Sequence[SpeechSegment], max_window_samples: int = N_SAMPLES
+    segments: Sequence[SpeechSegment],
+    max_window_samples: int = N_SAMPLES,
+    stream_idx: int = 0,
 ) -> List[ChunkWindow]:
     """Cut each speech segment into fixed-size windows.
 
@@ -53,10 +56,30 @@ def plan_windows(
                     window_idx=w,
                     start=seg.start + off / SAMPLE_RATE,
                     samples=part,
+                    stream_idx=stream_idx,
                 )
             )
             w += 1
     return windows
+
+
+def plan_windows_multi(
+    per_stream_segments: Sequence[Sequence[SpeechSegment]],
+    max_window_samples: int = N_SAMPLES,
+) -> List[ChunkWindow]:
+    """Windows for many audio streams, interleaved round-robin so every
+    batch mixes streams (keeps per-stream latency roughly uniform)."""
+    per_stream = [
+        plan_windows(segs, max_window_samples, stream_idx=i)
+        for i, segs in enumerate(per_stream_segments)
+    ]
+    out: List[ChunkWindow] = []
+    max_len = max((len(lst) for lst in per_stream), default=0)
+    for k in range(max_len):
+        for lst in per_stream:
+            if k < len(lst):
+                out.append(lst[k])
+    return out
 
 
 def iter_batches(

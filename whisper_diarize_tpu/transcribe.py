@@ -158,34 +158,52 @@ class TranscribeStep:
     def encode(self, mel: jnp.ndarray) -> jnp.ndarray:
         return self._encode(self.params, mel)
 
-    def decode(
+    def _build_prompt(
         self,
-        xa: jnp.ndarray,
-        language: Optional[str],
+        batch: int,
+        language,  # str | None | Sequence[str] (per batch row)
         task: str,
         prev_tokens: Optional[Sequence[int]] = None,
-        rng: Optional[jnp.ndarray] = None,
-    ) -> dec.DecodeResult:
-        B = xa.shape[0]
-        sot_seq = self.tk.sot_sequence(task=task, language=language or "en")
+    ) -> Tuple[jnp.ndarray, int, int]:
+        """Returns (prompt [B, P] int32, prompt_len, sot_pos). `language` may
+        be a per-row sequence — rows get their own language token (mixed-
+        language multi-stream batches)."""
         prefix: List[int] = []
         if prev_tokens:
             keep = self.cfg.n_text_ctx // 2 - 1
             if self.max_text_ctx is not None:
                 keep = min(keep, max(self.max_text_ctx, 0))
-            prefix = [self.sp.sot_prev] + list(prev_tokens)[-keep:] if keep else []
-        prompt_list = prefix + sot_seq
-        prompt = jnp.asarray(np.tile(np.array(prompt_list, np.int32), (B, 1)))
-        sot_pos = len(prefix)  # index of <|startoftranscript|> in the prompt
+            prefix = ([self.sp.sot_prev] + list(prev_tokens)[-keep:]) if keep else []
+        if language is None or isinstance(language, str):
+            langs = [language or "en"] * batch
+        else:
+            langs = [l or "en" for l in language]
+            assert len(langs) == batch
+        rows = [
+            prefix + self.tk.sot_sequence(task=task, language=l) for l in langs
+        ]
+        prompt = jnp.asarray(np.asarray(rows, np.int32))
+        return prompt, len(rows[0]), len(prefix)
+
+    def decode(
+        self,
+        xa: jnp.ndarray,
+        language,  # str | None | Sequence[str]
+        task: str,
+        prev_tokens: Optional[Sequence[int]] = None,
+        rng: Optional[jnp.ndarray] = None,
+    ) -> dec.DecodeResult:
+        B = xa.shape[0]
+        prompt, prompt_len, sot_pos = self._build_prompt(B, language, task, prev_tokens)
         if self.strategy == "greedy":
             return dec.greedy_decode(
                 self.params, self.cfg, self.dc, self.sp, xa, prompt,
-                len(prompt_list), rng=rng, suppress_mask=self._suppress,
+                prompt_len, rng=rng, suppress_mask=self._suppress,
                 sot_pos=sot_pos,
             )
         return dec.beam_decode(
             self.params, self.cfg, self.dc, self.sp, xa, prompt,
-            len(prompt_list), suppress_mask=self._suppress, sot_pos=sot_pos,
+            prompt_len, suppress_mask=self._suppress, sot_pos=sot_pos,
         )
 
     def decode_with_fallback(
@@ -234,14 +252,13 @@ class TranscribeStep:
             retry_dc = dataclasses.replace(
                 self.dc, temperature=float(temp), beam_size=1
             )
-            sot_seq = self.tk.sot_sequence(task=task, language=language or "en")
-            prompt = jnp.asarray(
-                np.tile(np.array(sot_seq, np.int32), (xa.shape[0], 1))
+            prompt, prompt_len, sot_pos = self._build_prompt(
+                xa.shape[0], language, task
             )
             retry = dec.greedy_decode(
                 self.params, self.cfg, retry_dc, self.sp, xa, prompt,
-                len(sot_seq), rng=_jax.random.PRNGKey(ti),
-                suppress_mask=self._suppress, sot_pos=0,
+                prompt_len, rng=_jax.random.PRNGKey(ti),
+                suppress_mask=self._suppress, sot_pos=sot_pos,
             )
             # merge retry rows into the kept result where the old row failed
             sel = jnp.asarray(bad)
