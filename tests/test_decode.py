@@ -138,3 +138,17 @@ def test_suppress_mask(setup):
     assert mask[sp.eot] == 0.0  # eot must stay sampleable
     assert mask[100] == 0.0  # text tokens stay
     assert mask[sp.timestamp_begin] == 0.0  # timestamps stay
+
+
+def test_quantized_cross_kv_close_to_bf16(setup):
+    """int8 cross-KV is a memory option; tokens should broadly agree with
+    the full-precision path on the tiny test model."""
+    params, xa, tk = setup
+    dc0 = dec.DecodeConfig(max_tokens=12, blank_id=32)
+    dcq = dec.DecodeConfig(max_tokens=12, blank_id=32, quantize_cross_kv=True)
+    r0 = dec.greedy_decode(params, TINY_TEST_CFG, dc0, tk.specials, xa, _prompt(tk, 2), 3)
+    rq = dec.greedy_decode(params, TINY_TEST_CFG, dcq, tk.specials, xa, _prompt(tk, 2), 3)
+    t0 = np.asarray(r0.tokens)
+    tq = np.asarray(rq.tokens)
+    assert (t0 == tq).mean() > 0.5  # majority agreement on random weights
+    _check_timestamp_grammar(tq, np.asarray(rq.lengths), tk.specials)

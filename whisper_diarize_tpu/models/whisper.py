@@ -363,6 +363,34 @@ def cross_kv(params: Params, xa: jnp.ndarray, cfg: WhisperConfig) -> Dict[str, j
     return {"k": k, "v": v}
 
 
+def quantize_cross_kv(cc: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Per-position symmetric int8 quantization of the cross K/V cache.
+
+    Halves the cross-cache HBM *footprint* (983 MB -> ~500 MB at batch 16
+    on large-v3-turbo) — useful when batch size is capacity-limited. NOTE:
+    with plain XLA the per-step dequantize does NOT fuse into the attention
+    matmuls (measured slower than bf16 on v5e), so this is a memory knob,
+    not a speed knob, until a fused int8-attention Pallas kernel lands
+    (`DecodeConfig.quantize_cross_kv`, default off).
+    """
+
+    def q(x):
+        scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.maximum(scale, 1e-8) / 127.0
+        payload = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / scale), -127, 127
+        ).astype(jnp.int8)
+        return payload, scale.astype(jnp.float32)
+
+    kq, ks = q(cc["k"])
+    vq, vs = q(cc["v"])
+    return {"k_q": kq, "k_s": ks, "v_q": vq, "v_s": vs}
+
+
+def _dequant(payload: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (payload.astype(dtype) * scale.astype(dtype))
+
+
 def decode_step(
     params: Params,
     cfg: WhisperConfig,
@@ -391,9 +419,14 @@ def decode_step(
     qpos = pos[:, None]
     mask = jnp.where(kpos <= qpos, 0.0, -jnp.inf).astype(jnp.float32)  # [S, Tc]
 
+    quantized = "k_q" in cross_cache
+
     def layer(carry, blk_and_cross):
         x, = carry
         blk, ck, cv, layer_idx = blk_and_cross
+        if quantized:
+            ck = _dequant(ck[0], ck[1], dtype)
+            cv = _dequant(cv[0], cv[1], dtype)
         h = _ln(x, blk["ln1_s"], blk["ln1_b"])
         q = _heads(h @ blk["q_w"] + blk["q_b"], H)
         k_new = _heads(h @ blk["k_w"], H)
@@ -420,8 +453,13 @@ def decode_step(
     blocks["k_cache"] = self_cache["k"]
     blocks["v_cache"] = self_cache["v"]
     L = cfg.n_text_layer
+    if quantized:
+        cross_k = (cross_cache["k_q"], cross_cache["k_s"])
+        cross_v = (cross_cache["v_q"], cross_cache["v_s"])
+    else:
+        cross_k, cross_v = cross_cache["k"], cross_cache["v"]
     (x,), (k_caches, v_caches) = jax.lax.scan(
-        layer, (x,), (blocks, cross_cache["k"], cross_cache["v"], jnp.arange(L))
+        layer, (x,), (blocks, cross_k, cross_v, jnp.arange(L))
     )
     x = _ln(x, dec["ln_s"], dec["ln_b"])
     logits = jnp.einsum(

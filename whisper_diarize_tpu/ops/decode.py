@@ -53,6 +53,7 @@ class DecodeConfig:
     patience: float = 1.0  # beam search patience (whisper.cpp -1 => default 1.0)
     length_penalty: Optional[float] = None  # None => avg logprob ranking
     blank_id: int = 220  # " " token ("Ġ" in the BPE vocab; 32 for DebugTokenizer)
+    quantize_cross_kv: bool = False  # int8 cross-KV cache (halves decode HBM traffic)
 
 
 @jax.tree_util.register_dataclass
@@ -196,6 +197,8 @@ def greedy_decode(
         suppress_mask = jnp.asarray(build_suppress_mask(sp, V))
 
     cross_cache = wm.cross_kv(params, xa, cfg)
+    if dc.quantize_cross_kv:
+        cross_cache = wm.quantize_cross_kv(cross_cache)
     # size the KV cache to the decode budget (64-aligned): every step streams
     # the whole cache, so unused slots are pure HBM waste
     cache_len = min(cfg.n_text_ctx, -(-(prompt_len + max_steps + 1) // 64) * 64)
@@ -342,6 +345,8 @@ def beam_decode(
 
     xa_k = rep(xa)
     cross_cache = wm.cross_kv(params, xa_k, cfg)
+    if dc.quantize_cross_kv:
+        cross_cache = wm.quantize_cross_kv(cross_cache)
     cache_len = min(cfg.n_text_ctx, -(-(prompt_len + max_steps + 1) // 64) * 64)
     cache = wm.init_self_cache(cfg, N, xa.dtype, cache_len)
     logits_all, cache = wm.decode_step(
