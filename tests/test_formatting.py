@@ -253,3 +253,26 @@ def test_grapheme_length_counting():
     assert _slice_chars([t], cfg) == 1
     cfg.use_grapheme_len = False
     assert _slice_chars([t], cfg) == len("👨‍👩‍👧‍👦".encode("utf-8"))
+
+
+def test_build_cue_respects_max_duration():
+    """Greedy window growth stops at max_sub_dur (`formatting.rs:475-485`)."""
+    cfg = PostProcessConfig()
+    cfg.max_sub_dur = 2.0
+    # 10 words, 0.5 s each, no punctuation, no gaps: one group
+    words = [W(f" w{i}", i * 0.5, (i + 1) * 0.5) for i in range(10)]
+    cues = process_segments([seg(words)], cfg, None)
+    assert len(cues) > 1
+    for c in cues:
+        assert c.end - c.start <= 2.0 + 0.5  # grows until dur < cap, so +1 word
+
+
+def test_build_cue_cps_cap_splits():
+    """Dense text beyond the CPS cap and CPL budget splits into cues."""
+    cfg = PostProcessConfig()
+    cfg.cps_cap = 5.0
+    cfg.max_chars_per_line = 10
+    cfg.max_lines = 1
+    words = [W(" abcdefghij", i * 0.2, (i + 1) * 0.2) for i in range(6)]
+    cues = process_segments([seg(words)], cfg, None)
+    assert len(cues) >= 3

@@ -39,18 +39,9 @@ def _add_transcribe(sub):
 
 
 def _format_srt(cues) -> str:
-    def ts(t: float) -> str:
-        ms = int(round(t * 1000))
-        h, ms = divmod(ms, 3600_000)
-        m, ms = divmod(ms, 60_000)
-        s, ms = divmod(ms, 1000)
-        return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
+    from .subtitles import to_srt
 
-    lines = []
-    for i, c in enumerate(cues, 1):
-        speaker = f"[{c.speaker_id}] " if c.speaker_id else ""
-        lines.append(f"{i}\n{ts(c.start)} --> {ts(c.end)}\n{speaker}{c.text}\n")
-    return "\n".join(lines)
+    return to_srt(cues)
 
 
 def cmd_transcribe(args) -> int:
