@@ -306,3 +306,78 @@ def test_transcribe_audio_batch_missing_file(snapshot_dir, tmp_path, wav_path):
     eng = make_engine(snapshot_dir, tmp_path)
     with pytest.raises(FileNotFoundError):
         eng.transcribe_audio_batch([wav_path, "/nope.wav"], TranscribeOptions())
+
+
+def test_openai_pt_loader(tmp_path):
+    """Fabricated OpenAI-layout .pt checkpoint loads and drives encode;
+    numerically identical to the same weights loaded from native format."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    # build native params first, then express them in OpenAI layout
+    cfg = TINY_TEST_CFG
+    params = wm.init_params(cfg, seed=5)
+
+    import jax
+    import numpy as _np
+
+    def t(x):
+        return torch.tensor(_np.asarray(x))
+
+    sd = {}
+    enc = jax.tree.map(_np.asarray, params["encoder"])
+    dec = jax.tree.map(_np.asarray, params["decoder"])
+    sd["encoder.conv1.weight"] = t(enc["conv1_w"].transpose(2, 1, 0))
+    sd["encoder.conv1.bias"] = t(enc["conv1_b"])
+    sd["encoder.conv2.weight"] = t(enc["conv2_w"].transpose(2, 1, 0))
+    sd["encoder.conv2.bias"] = t(enc["conv2_b"])
+    sd["encoder.positional_embedding"] = t(enc["pos"])
+    sd["encoder.ln_post.weight"] = t(enc["ln_post_s"])
+    sd["encoder.ln_post.bias"] = t(enc["ln_post_b"])
+    eb = enc["blocks"]
+    for i in range(cfg.n_audio_layer):
+        p = f"encoder.blocks.{i}."
+        sd[p + "attn_ln.weight"] = t(eb["ln1_s"][i]); sd[p + "attn_ln.bias"] = t(eb["ln1_b"][i])
+        sd[p + "attn.query.weight"] = t(eb["q_w"][i].T); sd[p + "attn.query.bias"] = t(eb["q_b"][i])
+        sd[p + "attn.key.weight"] = t(eb["k_w"][i].T)
+        sd[p + "attn.value.weight"] = t(eb["v_w"][i].T); sd[p + "attn.value.bias"] = t(eb["v_b"][i])
+        sd[p + "attn.out.weight"] = t(eb["o_w"][i].T); sd[p + "attn.out.bias"] = t(eb["o_b"][i])
+        sd[p + "mlp_ln.weight"] = t(eb["ln2_s"][i]); sd[p + "mlp_ln.bias"] = t(eb["ln2_b"][i])
+        sd[p + "mlp.0.weight"] = t(eb["fc1_w"][i].T); sd[p + "mlp.0.bias"] = t(eb["fc1_b"][i])
+        sd[p + "mlp.2.weight"] = t(eb["fc2_w"][i].T); sd[p + "mlp.2.bias"] = t(eb["fc2_b"][i])
+    db = dec["blocks"]
+    sd["decoder.token_embedding.weight"] = t(dec["tok_emb"])
+    sd["decoder.positional_embedding"] = t(dec["pos_emb"])
+    sd["decoder.ln.weight"] = t(dec["ln_s"]); sd["decoder.ln.bias"] = t(dec["ln_b"])
+    for i in range(cfg.n_text_layer):
+        p = f"decoder.blocks.{i}."
+        sd[p + "attn_ln.weight"] = t(db["ln1_s"][i]); sd[p + "attn_ln.bias"] = t(db["ln1_b"][i])
+        sd[p + "attn.query.weight"] = t(db["q_w"][i].T); sd[p + "attn.query.bias"] = t(db["q_b"][i])
+        sd[p + "attn.key.weight"] = t(db["k_w"][i].T)
+        sd[p + "attn.value.weight"] = t(db["v_w"][i].T); sd[p + "attn.value.bias"] = t(db["v_b"][i])
+        sd[p + "attn.out.weight"] = t(db["o_w"][i].T); sd[p + "attn.out.bias"] = t(db["o_b"][i])
+        sd[p + "cross_attn_ln.weight"] = t(db["ln2_s"][i]); sd[p + "cross_attn_ln.bias"] = t(db["ln2_b"][i])
+        sd[p + "cross_attn.query.weight"] = t(db["cq_w"][i].T); sd[p + "cross_attn.query.bias"] = t(db["cq_b"][i])
+        sd[p + "cross_attn.key.weight"] = t(db["ck_w"][i].T)
+        sd[p + "cross_attn.value.weight"] = t(db["cv_w"][i].T); sd[p + "cross_attn.value.bias"] = t(db["cv_b"][i])
+        sd[p + "cross_attn.out.weight"] = t(db["co_w"][i].T); sd[p + "cross_attn.out.bias"] = t(db["co_b"][i])
+        sd[p + "mlp_ln.weight"] = t(db["ln3_s"][i]); sd[p + "mlp_ln.bias"] = t(db["ln3_b"][i])
+        sd[p + "mlp.0.weight"] = t(db["fc1_w"][i].T); sd[p + "mlp.0.bias"] = t(db["fc1_b"][i])
+        sd[p + "mlp.2.weight"] = t(db["fc2_w"][i].T); sd[p + "mlp.2.bias"] = t(db["fc2_b"][i])
+
+    dims = dict(
+        n_mels=cfg.n_mels, n_vocab=cfg.n_vocab,
+        n_audio_ctx=cfg.n_audio_ctx, n_audio_state=cfg.n_audio_state,
+        n_audio_head=cfg.n_audio_head, n_audio_layer=cfg.n_audio_layer,
+        n_text_ctx=cfg.n_text_ctx, n_text_state=cfg.n_text_state,
+        n_text_head=cfg.n_text_head, n_text_layer=cfg.n_text_layer,
+    )
+    pt_path = tmp_path / "tiny_openai.pt"
+    torch.save({"dims": dims, "model_state_dict": sd}, pt_path)
+
+    loaded, cfg2 = weights_mod.load_openai_pt(str(pt_path))
+    assert cfg2 == cfg
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal((1, 80, 3000)), jnp.float32)
+    a = wm.encode(params, mel, cfg)
+    b = wm.encode(loaded, mel, cfg2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -204,6 +204,108 @@ def load_model(
     return params, cfg
 
 
+def load_openai_pt(path, dtype=jnp.float32) -> Tuple[Dict[str, Any], wm.WhisperConfig]:
+    """Load an original OpenAI whisper checkpoint (.pt: {"dims", "model_state_dict"}).
+
+    OpenAI layout: encoder.blocks.{i}.attn.{query,key,value,out},
+    mlp.0/mlp.2, attn_ln/mlp_ln; decoder adds cross_attn/cross_attn_ln;
+    linear weights are [out, in]. Requires torch (CPU) to deserialize.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    dims = ckpt["dims"]
+    if not isinstance(dims, dict):
+        dims = dims.__dict__
+    sd = {k: v.numpy() for k, v in ckpt["model_state_dict"].items()}
+    vocab = int(dims["n_vocab"])
+    cfg = wm.WhisperConfig(
+        n_mels=int(dims["n_mels"]), n_vocab=vocab,
+        n_audio_ctx=int(dims["n_audio_ctx"]), n_audio_state=int(dims["n_audio_state"]),
+        n_audio_head=int(dims["n_audio_head"]), n_audio_layer=int(dims["n_audio_layer"]),
+        n_text_ctx=int(dims["n_text_ctx"]), n_text_state=int(dims["n_text_state"]),
+        n_text_head=int(dims["n_text_head"]), n_text_layer=int(dims["n_text_layer"]),
+        multilingual=vocab != 51864, num_languages=100 if vocab == 51866 else 99,
+    )
+
+    def g(name):
+        return np.asarray(sd[name])
+
+    def lin_w(name):
+        return g(name).T
+
+    def stack(fmt, L, f):
+        return np.stack([f(fmt.format(i=i)) for i in range(L)])
+
+    Le, Ld = cfg.n_audio_layer, cfg.n_text_layer
+    e = "encoder.blocks.{i}."
+    d = "decoder.blocks.{i}."
+    enc_blocks = {
+        "ln1_s": stack(e + "attn_ln.weight", Le, g),
+        "ln1_b": stack(e + "attn_ln.bias", Le, g),
+        "q_w": stack(e + "attn.query.weight", Le, lin_w),
+        "q_b": stack(e + "attn.query.bias", Le, g),
+        "k_w": stack(e + "attn.key.weight", Le, lin_w),
+        "v_w": stack(e + "attn.value.weight", Le, lin_w),
+        "v_b": stack(e + "attn.value.bias", Le, g),
+        "o_w": stack(e + "attn.out.weight", Le, lin_w),
+        "o_b": stack(e + "attn.out.bias", Le, g),
+        "ln2_s": stack(e + "mlp_ln.weight", Le, g),
+        "ln2_b": stack(e + "mlp_ln.bias", Le, g),
+        "fc1_w": stack(e + "mlp.0.weight", Le, lin_w),
+        "fc1_b": stack(e + "mlp.0.bias", Le, g),
+        "fc2_w": stack(e + "mlp.2.weight", Le, lin_w),
+        "fc2_b": stack(e + "mlp.2.bias", Le, g),
+    }
+    dec_blocks = {
+        "ln1_s": stack(d + "attn_ln.weight", Ld, g),
+        "ln1_b": stack(d + "attn_ln.bias", Ld, g),
+        "q_w": stack(d + "attn.query.weight", Ld, lin_w),
+        "q_b": stack(d + "attn.query.bias", Ld, g),
+        "k_w": stack(d + "attn.key.weight", Ld, lin_w),
+        "v_w": stack(d + "attn.value.weight", Ld, lin_w),
+        "v_b": stack(d + "attn.value.bias", Ld, g),
+        "o_w": stack(d + "attn.out.weight", Ld, lin_w),
+        "o_b": stack(d + "attn.out.bias", Ld, g),
+        "ln2_s": stack(d + "cross_attn_ln.weight", Ld, g),
+        "ln2_b": stack(d + "cross_attn_ln.bias", Ld, g),
+        "cq_w": stack(d + "cross_attn.query.weight", Ld, lin_w),
+        "cq_b": stack(d + "cross_attn.query.bias", Ld, g),
+        "ck_w": stack(d + "cross_attn.key.weight", Ld, lin_w),
+        "cv_w": stack(d + "cross_attn.value.weight", Ld, lin_w),
+        "cv_b": stack(d + "cross_attn.value.bias", Ld, g),
+        "co_w": stack(d + "cross_attn.out.weight", Ld, lin_w),
+        "co_b": stack(d + "cross_attn.out.bias", Ld, g),
+        "ln3_s": stack(d + "mlp_ln.weight", Ld, g),
+        "ln3_b": stack(d + "mlp_ln.bias", Ld, g),
+        "fc1_w": stack(d + "mlp.0.weight", Ld, lin_w),
+        "fc1_b": stack(d + "mlp.0.bias", Ld, g),
+        "fc2_w": stack(d + "mlp.2.weight", Ld, lin_w),
+        "fc2_b": stack(d + "mlp.2.bias", Ld, g),
+    }
+    params = {
+        "encoder": {
+            # torch conv [out, in, k] -> ours [k, in, out]
+            "conv1_w": g("encoder.conv1.weight").transpose(2, 1, 0),
+            "conv1_b": g("encoder.conv1.bias"),
+            "conv2_w": g("encoder.conv2.weight").transpose(2, 1, 0),
+            "conv2_b": g("encoder.conv2.bias"),
+            "pos": g("encoder.positional_embedding"),
+            "blocks": enc_blocks,
+            "ln_post_s": g("encoder.ln_post.weight"),
+            "ln_post_b": g("encoder.ln_post.bias"),
+        },
+        "decoder": {
+            "tok_emb": g("decoder.token_embedding.weight"),
+            "pos_emb": g("decoder.positional_embedding"),
+            "blocks": dec_blocks,
+            "ln_s": g("decoder.ln.weight"),
+            "ln_b": g("decoder.ln.bias"),
+        },
+    }
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), params), cfg
+
+
 def init_random_snapshot(
     dir_path, model_name: Optional[str] = None,
     cfg: Optional[wm.WhisperConfig] = None, seed: int = 0,
