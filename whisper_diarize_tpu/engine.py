@@ -215,144 +215,67 @@ class Engine:
         callbacks: Optional[Callbacks] = None,
     ) -> List[Segment]:
         """The primary entry point (`engine.rs:65-200`)."""
-        options = options or TranscribeOptions()
-        cb = callbacks or Callbacks()
-
-        if not os.path.exists(audio_path):
-            raise FileNotFoundError("audio file doesn't exist")
-
-        params, model_cfg, tokenizer = self._load_whisper(
-            options, cb.progress, cb.is_cancelled
-        )
-
-        original_samples = audio_io.read_wav(audio_path)
-
-        speech_segments: List[SpeechSegment] = []
-        diarize_options: Optional[DiarizeOptions] = None
-        vad_mask: Optional[VadMaskOracle] = None
-
-        if options.enable_diarize:
-            # resolve diarization models (paths may be .npz weight files;
-            # None -> download via ModelManager like `engine.rs:94-100`)
-            if (
-                self.cfg.diarize_segment_model_path
-                and self.cfg.diarize_embedding_model_path
-            ):
-                seg_path = self.cfg.diarize_segment_model_path
-                emb_path = self.cfg.diarize_embedding_model_path
-            else:
-                seg_p, emb_p = self.models.ensure_diarize_models(
-                    progress=cb.progress, is_cancelled=cb.is_cancelled
-                )
-                seg_path, emb_path = str(seg_p), str(emb_p)
-
-            adv = options.advanced
-            threshold = (adv.diarize_threshold if adv else None) or 0.5
-            max_speakers = (
-                UNBOUNDED_SPEAKERS
-                if not options.max_speakers
-                else options.max_speakers
-            )
-            diarize_options = DiarizeOptions(
-                segment_model_path=seg_path,
-                embedding_model_path=emb_path,
-                threshold=threshold,
-                max_speakers=max_speakers,
-            )
-            from . import diarize as diarize_mod
-            from .models import segmentation as segmentation_mod
-
-            seg_params = (
-                segmentation_mod.load_params(seg_path)
-                if seg_path and os.path.exists(seg_path) and seg_path.endswith(".npz")
-                else segmentation_mod.init_params()
-            )
-            speech_segments = diarize_mod.get_segments(
-                original_samples, SAMPLE_RATE, seg_params
-            )
-        elif options.enable_vad:
-            from . import vad as vad_mod
-
-            vad_model = self.cfg.vad_model_path
-            if vad_model is None:
-                try:
-                    vad_model = str(
-                        self.models.ensure_vad_model(cb.progress, cb.is_cancelled)
-                    )
-                except Exception:
-                    logger.warning("VAD weights unavailable; using random init")
-                    vad_model = None
-            mask, speech_segments = vad_mod.get_segments(vad_model, original_samples)
-            vad_mask = VadMaskOracle(mask)
-        else:
-            speech_segments = [
-                SpeechSegment(
-                    start=0.0,
-                    end=len(original_samples) / SAMPLE_RATE,
-                    samples=original_samples,
-                )
-            ]
-
-        logger.info("Transcribing %d segments", len(speech_segments))
-        if self.cfg.enable_dtw:
-            # context-creation diagnostic parity (`transcribe.rs:131-132`);
-            # informational here — the JAX DTW needs only the NxM cost matrix
-            from .utils import calculate_dtw_mem_size
-
-            num_samples = sum(len(s.samples) for s in speech_segments)
-            logger.debug(
-                "dtw mem size (reference model): %d MB",
-                calculate_dtw_mem_size(num_samples) // (1024 * 1024),
-            )
-
-        step = self._make_step(params, model_cfg, tokenizer, options)
-
-        translate_to = options.translate_target
-        from_lang = options.lang or "auto"
-        whisper_to_en = bool(options.whisper_to_english)
-
-        segments, detected_lang = self._run_pipeline(
-            step, speech_segments, options, diarize_options, cb
-        )
-
-        effective_lang = detected_lang or from_lang
-
-        if not whisper_to_en and translate_to:
-            translate_mod.translate_segments(
-                segments, effective_lang, translate_to, cb.progress
-            )
-
-        pp_cfg = PostProcessConfig.for_language(effective_lang)
-        if formatting_overrides is not None:
-            apply_overrides(pp_cfg, formatting_overrides)
-
-        return process_segments(segments, pp_cfg, vad_mask)
-
-    # async parity with the reference's async fn (`engine.rs:65`)
-    async def transcribe_audio_async(self, *args, **kwargs) -> List[Segment]:
-        import asyncio
-
-        return await asyncio.to_thread(self.transcribe_audio, *args, **kwargs)
+        return self._transcribe_paths(
+            [audio_path], options, formatting_overrides, callbacks
+        )[0]
 
     # ------------------------------------------------------------------
-    def transcribe_audio_batch(
+    def _resolve_diarization(
+        self, options: TranscribeOptions, cb: Callbacks
+    ) -> Tuple[DiarizeOptions, Any]:
+        """Resolve diarization model paths + load the segmentation net
+        (paths may be .npz weight files; None -> download via ModelManager
+        like `engine.rs:94-100`)."""
+        if (
+            self.cfg.diarize_segment_model_path
+            and self.cfg.diarize_embedding_model_path
+        ):
+            seg_path = self.cfg.diarize_segment_model_path
+            emb_path = self.cfg.diarize_embedding_model_path
+        else:
+            seg_p, emb_p = self.models.ensure_diarize_models(
+                progress=cb.progress, is_cancelled=cb.is_cancelled
+            )
+            seg_path, emb_path = str(seg_p), str(emb_p)
+        adv = options.advanced
+        diarize_options = DiarizeOptions(
+            segment_model_path=seg_path,
+            embedding_model_path=emb_path,
+            threshold=(adv.diarize_threshold if adv else None) or 0.5,
+            max_speakers=(
+                UNBOUNDED_SPEAKERS if not options.max_speakers else options.max_speakers
+            ),
+        )
+        from .models import segmentation as segmentation_mod
+
+        seg_params = (
+            segmentation_mod.load_params(seg_path)
+            if seg_path and os.path.exists(seg_path) and seg_path.endswith(".npz")
+            else segmentation_mod.init_params()
+        )
+        return diarize_options, seg_params
+
+    def _resolve_vad_model(self, cb: Callbacks):
+        vad_model = self.cfg.vad_model_path
+        if vad_model is None:
+            try:
+                vad_model = str(
+                    self.models.ensure_vad_model(cb.progress, cb.is_cancelled)
+                )
+            except Exception:
+                logger.warning("VAD weights unavailable; using random init")
+                vad_model = None
+        return vad_model
+
+    def _transcribe_paths(
         self,
         audio_paths: List[str],
-        options: Optional[TranscribeOptions] = None,
-        formatting_overrides: Optional[FormattingOverrides] = None,
-        callbacks: Optional[Callbacks] = None,
+        options: Optional[TranscribeOptions],
+        formatting_overrides: Optional[FormattingOverrides],
+        callbacks: Optional[Callbacks],
     ) -> List[List[Segment]]:
-        """Transcribe many files at once, filling decode batches across
-        streams (BASELINE config 5: 16 parallel audio streams saturating the
-        chip). No reference counterpart — the reference loops files through
-        one serial engine. Per stream: its own language latch, VAD oracle,
-        speaker clusters, formatter preset. `sequential_prompt` is
-        incompatible with cross-stream batching and is rejected."""
-        if self.cfg.sequential_prompt:
-            raise ValueError(
-                "sequential_prompt carries text across windows of one stream "
-                "and cannot batch across streams; use transcribe_audio"
-            )
+        """Shared engine body: segmentation branch per stream, batched
+        pipeline across streams, per-stream translate + formatting."""
         options = options or TranscribeOptions()
         cb = callbacks or Callbacks()
 
@@ -365,51 +288,16 @@ class Engine:
         )
         step = self._make_step(params, model_cfg, tokenizer, options)
 
-        per_stream_segments: List[List[SpeechSegment]] = []
-        vad_masks: List[Optional[VadMaskOracle]] = []
         diarize_options: Optional[DiarizeOptions] = None
         seg_params = None
-
-        if options.enable_diarize:
-            if (
-                self.cfg.diarize_segment_model_path
-                and self.cfg.diarize_embedding_model_path
-            ):
-                seg_path = self.cfg.diarize_segment_model_path
-                emb_path = self.cfg.diarize_embedding_model_path
-            else:
-                seg_p, emb_p = self.models.ensure_diarize_models(
-                    progress=cb.progress, is_cancelled=cb.is_cancelled
-                )
-                seg_path, emb_path = str(seg_p), str(emb_p)
-            adv = options.advanced
-            diarize_options = DiarizeOptions(
-                segment_model_path=seg_path,
-                embedding_model_path=emb_path,
-                threshold=(adv.diarize_threshold if adv else None) or 0.5,
-                max_speakers=(
-                    UNBOUNDED_SPEAKERS if not options.max_speakers else options.max_speakers
-                ),
-            )
-            from .models import segmentation as segmentation_mod
-
-            seg_params = (
-                segmentation_mod.load_params(seg_path)
-                if seg_path and os.path.exists(seg_path) and seg_path.endswith(".npz")
-                else segmentation_mod.init_params()
-            )
-
         vad_model = None
-        if options.enable_vad and not options.enable_diarize:
-            vad_model = self.cfg.vad_model_path
-            if vad_model is None:
-                try:
-                    vad_model = str(
-                        self.models.ensure_vad_model(cb.progress, cb.is_cancelled)
-                    )
-                except Exception:
-                    logger.warning("VAD weights unavailable; using random init")
+        if options.enable_diarize:
+            diarize_options, seg_params = self._resolve_diarization(options, cb)
+        elif options.enable_vad:
+            vad_model = self._resolve_vad_model(cb)
 
+        per_stream_segments: List[List[SpeechSegment]] = []
+        vad_masks: List[Optional[VadMaskOracle]] = []
         for path in audio_paths:
             samples = audio_io.read_wav(path)
             if options.enable_diarize:
@@ -437,12 +325,29 @@ class Engine:
                 )
                 vad_masks.append(None)
 
+        n_segs = sum(len(s) for s in per_stream_segments)
+        logger.info(
+            "Transcribing %d segments (%d streams)", n_segs, len(audio_paths)
+        )
+        if self.cfg.enable_dtw:
+            # context-creation diagnostic parity (`transcribe.rs:131-132`);
+            # informational here — the JAX DTW needs only the NxM cost matrix
+            from .utils import calculate_dtw_mem_size
+
+            num_samples = sum(
+                len(s.samples) for segs in per_stream_segments for s in segs
+            )
+            logger.debug(
+                "dtw mem size (reference model): %d MB",
+                calculate_dtw_mem_size(num_samples) // (1024 * 1024),
+            )
+
         seg_lists, langs = self._run_pipeline_multi(
             step, per_stream_segments, options, diarize_options, cb
         )
 
-        out: List[List[Segment]] = []
         whisper_to_en = bool(options.whisper_to_english)
+        out: List[List[Segment]] = []
         for si, segments in enumerate(seg_lists):
             effective_lang = langs[si] or (options.lang or "auto")
             if not whisper_to_en and options.translate_target:
@@ -454,6 +359,35 @@ class Engine:
                 apply_overrides(pp_cfg, formatting_overrides)
             out.append(process_segments(segments, pp_cfg, vad_masks[si]))
         return out
+
+    # async parity with the reference's async fn (`engine.rs:65`)
+    async def transcribe_audio_async(self, *args, **kwargs) -> List[Segment]:
+        import asyncio
+
+        return await asyncio.to_thread(self.transcribe_audio, *args, **kwargs)
+
+    # ------------------------------------------------------------------
+    def transcribe_audio_batch(
+        self,
+        audio_paths: List[str],
+        options: Optional[TranscribeOptions] = None,
+        formatting_overrides: Optional[FormattingOverrides] = None,
+        callbacks: Optional[Callbacks] = None,
+    ) -> List[List[Segment]]:
+        """Transcribe many files at once, filling decode batches across
+        streams (BASELINE config 5: 16 parallel audio streams saturating the
+        chip). No reference counterpart — the reference loops files through
+        one serial engine. Per stream: its own language latch, VAD oracle,
+        speaker clusters, formatter preset. `sequential_prompt` is
+        incompatible with cross-stream batching and is rejected."""
+        if self.cfg.sequential_prompt:
+            raise ValueError(
+                "sequential_prompt carries text across windows of one stream "
+                "and cannot batch across streams; use transcribe_audio"
+            )
+        return self._transcribe_paths(
+            audio_paths, options, formatting_overrides, callbacks
+        )
 
     # ------------------------------------------------------------------
     def _run_pipeline(
