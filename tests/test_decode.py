@@ -152,3 +152,11 @@ def test_quantized_cross_kv_close_to_bf16(setup):
     tq = np.asarray(rq.tokens)
     assert (t0 == tq).mean() > 0.5  # majority agreement on random weights
     _check_timestamp_grammar(tq, np.asarray(rq.lengths), tk.specials)
+
+
+def test_beam_length_penalty_option(setup):
+    params, xa, tk = setup
+    dc = dec.DecodeConfig(beam_size=2, max_tokens=10, blank_id=32, length_penalty=0.6)
+    res = dec.beam_decode(params, TINY_TEST_CFG, dc, tk.specials, xa, _prompt(tk, 2), 3)
+    assert np.isfinite(np.asarray(res.sum_logprob)).all()
+    _check_timestamp_grammar(np.asarray(res.tokens), np.asarray(res.lengths), tk.specials)

@@ -528,9 +528,7 @@ class Engine:
                     step.tk.encode(" " + init_prompt.strip()) if init_prompt else None
                 ),
             )
-            chunk_results = step.build_chunk_results(
-                res, xa, n_valid, 0, translated
-            )
+            chunk_results = step.build_chunk_results(res, xa, n_valid, translated)
             stage_s["decode"] += _time.perf_counter() - t0
 
             # batched speaker embeddings over the group's chunk samples

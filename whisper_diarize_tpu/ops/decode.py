@@ -507,11 +507,16 @@ def beam_decode(
         has_fin = (fin_count > 0).reshape((-1,) + (1,) * (a.ndim - 1))
         return jnp.where(has_fin, a, b)
 
-    # rank finished hypotheses by avg logprob (sum / (len+1))
-    fin_avg = final["fin_scores"] / jnp.maximum(
-        final["fin_lengths"] + 1, 1
-    ).astype(jnp.float32)
-    fin_best = jnp.argmax(fin_avg, axis=-1)
+    # rank finished hypotheses: avg logprob (sum/(len+1), whisper default)
+    # or Google-NMT length penalty ((5+len)/6)^alpha when configured
+    if dc.length_penalty is None:
+        fin_rank = final["fin_scores"] / jnp.maximum(
+            final["fin_lengths"] + 1, 1
+        ).astype(jnp.float32)
+    else:
+        penalty = ((5.0 + final["fin_lengths"].astype(jnp.float32)) / 6.0) ** dc.length_penalty
+        fin_rank = final["fin_scores"] / jnp.maximum(penalty, 1e-6)
+    fin_best = jnp.argmax(fin_rank, axis=-1)
 
     tokens = pick(final["fin_tokens"], act_tokens, final["fin_count"], act_best, fin_best)
     probs = pick(final["fin_probs"], act_probs, final["fin_count"], act_best, fin_best)

@@ -284,7 +284,6 @@ class TranscribeStep:
         result: dec.DecodeResult,
         xa: jnp.ndarray,
         chunk_samples: Sequence[int],  # valid samples per batch row
-        sot_seq_len: int,
         translated: bool,
     ) -> List[ChunkResult]:
         """Host-side: token ids -> text + token-level word spans per chunk."""
