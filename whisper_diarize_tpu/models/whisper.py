@@ -394,15 +394,21 @@ def _dequant(payload: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
 def decode_step(
     params: Params,
     cfg: WhisperConfig,
-    tokens: jnp.ndarray,  # [B, S] int32
+    tokens: jnp.ndarray,  # [N, S] int32
     pos_offset: jnp.ndarray,  # scalar int32: index of tokens[:, 0]
     self_cache: Dict[str, jnp.ndarray],
     cross_cache: Dict[str, jnp.ndarray],
+    beams: int = 1,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Run S tokens through the decoder against a fixed-size KV cache.
 
     Used both for the prompt prefill (S = prompt length) and the sampling
-    loop (S = 1). Returns (logits [B, S, V] f32, updated self_cache).
+    loop (S = 1). Returns (logits [N, S, V] f32, updated self_cache).
+
+    `beams > 1` marks the batch as beam-folded [B*beams]: the cross cache
+    then has only B rows and is SHARED across each stream's beams — the
+    cross-KV stream (the dominant HBM traffic of the decode loop) is read
+    once per stream per step instead of once per beam.
     """
     dec = params["decoder"]
     dtype = dec["tok_emb"].dtype
@@ -442,7 +448,24 @@ def decode_step(
         # cross-attention against the precomputed audio K/V
         h = _ln(x, blk["ln2_s"], blk["ln2_b"])
         cq = _heads(h @ blk["cq_w"] + blk["cq_b"], H)
-        x = x + _unheads(_attn(cq, ck, cv)) @ blk["co_w"] + blk["co_b"]
+        if beams == 1:
+            cross_out = _attn(cq, ck, cv)
+        else:
+            # beam-folded rows share their stream's cross K/V: [N,H,S,Dh] ->
+            # [B,K,H,S,Dh] against ck/cv [B,H,Ta,Dh]
+            Nb, Hh, Sq, Dh = cq.shape
+            Bb = Nb // beams
+            cqb = cq.reshape(Bb, beams, Hh, Sq, Dh)
+            scale = Dh ** -0.25
+            logits_c = jnp.einsum(
+                "bkhqd,bhtd->bkhqt", cqb * scale, ck * scale,
+                preferred_element_type=jnp.float32,
+            )
+            wgt = jax.nn.softmax(logits_c, axis=-1).astype(cv.dtype)
+            cross_out = jnp.einsum(
+                "bkhqt,bhtd->bkhqd", wgt, cv, preferred_element_type=jnp.float32
+            ).astype(cv.dtype).reshape(Nb, Hh, Sq, Dh)
+        x = x + _unheads(cross_out) @ blk["co_w"] + blk["co_b"]
         # mlp
         h = _ln(x, blk["ln3_s"], blk["ln3_b"])
         h = jax.nn.gelu(h @ blk["fc1_w"] + blk["fc1_b"])

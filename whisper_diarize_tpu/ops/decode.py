@@ -343,14 +343,15 @@ def beam_decode(
     def rep(x):
         return jnp.repeat(x, K, axis=0)
 
-    xa_k = rep(xa)
-    cross_cache = wm.cross_kv(params, xa_k, cfg)
+    # cross K/V computed ONCE per stream (B rows) and shared across the K
+    # beams inside decode_step — 1/K of the replicated-cache HBM traffic
+    cross_cache = wm.cross_kv(params, xa, cfg)
     if dc.quantize_cross_kv:
         cross_cache = wm.quantize_cross_kv(cross_cache)
     cache_len = min(cfg.n_text_ctx, -(-(prompt_len + max_steps + 1) // 64) * 64)
     cache = wm.init_self_cache(cfg, N, xa.dtype, cache_len)
     logits_all, cache = wm.decode_step(
-        params, cfg, rep(prompt), jnp.int32(0), cache, cross_cache
+        params, cfg, rep(prompt), jnp.int32(0), cache, cross_cache, beams=K
     )
     first_logits = logits_all[:, -1]
     sot_logits = logits_all[:, sot_pos]
@@ -463,7 +464,8 @@ def beam_decode(
         cache = jax.tree.map(lambda a: a[:, new_src], s["cache"])
 
         step_logits, cache = wm.decode_step(
-            params, cfg, new_tok[:, None], prompt_len + s["step"], cache, cross_cache
+            params, cfg, new_tok[:, None], prompt_len + s["step"], cache,
+            cross_cache, beams=K,
         )
 
         return dict(
