@@ -146,6 +146,10 @@ class TranscribeStep:
         self._align = jax.jit(
             lambda p, t, xa: wm.alignment_cross_attn(p, cfg, t, xa, self.heads)
         )
+        sot_id = self.sp.sot
+        self._detect = jax.jit(
+            lambda p, xa: wm.detect_language_logits(p, cfg, xa, sot_id)
+        )
 
     # -- model invocations ---------------------------------------------------
     def mel(self, audio_batch: np.ndarray) -> jnp.ndarray:
@@ -273,10 +277,12 @@ class TranscribeStep:
         return result
 
     def detect_language(self, xa: jnp.ndarray) -> List[str]:
-        idx, _ = dec.detect_language(self.params, self.cfg, self.sp, xa)
+        logits = self._detect(self.params, xa)  # jitted: one dispatch
+        lang_ids = np.arange(self.sp.num_languages) + (self.sp.sot + 1)
+        idx = np.asarray(logits)[:, lang_ids].argmax(-1)
         from .tokenizer import LANGUAGES
 
-        return [LANGUAGES[int(i)] for i in np.asarray(idx)]
+        return [LANGUAGES[int(i)] for i in idx]
 
     # -- result assembly -----------------------------------------------------
     def build_chunk_results(
@@ -299,6 +305,9 @@ class TranscribeStep:
         if self.enable_dtw and not translated:
             max_len = int(lengths.max()) if B else 0
             if max_len > 0:
+                # pad the token axis to a 32-bucket so the jitted alignment
+                # pass compiles once per bucket, not once per length
+                max_len = min(-(-max_len // 32) * 32, self.cfg.n_text_ctx - 8)
                 sot = self.tk.sot_sequence(language="en")  # timing-only pass
                 pad = np.full((B, max_len), self.sp.eot, np.int32)
                 for b in range(B):
@@ -310,12 +319,16 @@ class TranscribeStep:
                 # text rows start after the sot sequence
                 attn_text = attn[:, :, len(sot):, :]
                 for b in range(B):
+                    n_tok = int(lengths[b])
+                    if n_tok == 0:
+                        continue
                     n_frames = min(
                         int(np.ceil(chunk_samples[b] / (SAMPLE_RATE * dtw_ops.FRAME_SECONDS))),
                         self.cfg.n_audio_ctx,
                     )
+                    # drop pad rows: the DTW path must cover only real tokens
                     anchors_all[b] = dtw_ops.token_anchor_times(
-                        attn_text[b], max(n_frames, 1)
+                        attn_text[b][:, :n_tok, :], max(n_frames, 1)
                     )
 
         out: List[ChunkResult] = []
