@@ -276,3 +276,42 @@ def test_build_cue_cps_cap_splits():
     words = [W(" abcdefghij", i * 0.2, (i + 1) * 0.2) for i in range(6)]
     cues = process_segments([seg(words)], cfg, None)
     assert len(cues) >= 3
+
+
+def test_comma_split_gated_by_line_length():
+    """Comma candidates only count when the slice is long enough
+    (`formatting.rs:544-545`); note commas carry a +0.15 score penalty
+    (`formatting.rs:582`), so they win only when the alternative overflows."""
+    cfg = PostProcessConfig()
+    cfg.max_lines = 2
+    cfg.max_chars_per_line = 10
+    # 5 tokens so k=1 is NOT the midpoint fallback (len//2 == 2)
+    toks = [
+        _Tok("aaaaaaaaaa", ",", 0.0, 0.4, None, None, False),
+        _Tok("bb", "", 0.4, 0.8, None, None, True),
+        _Tok("cc", "", 0.8, 1.2, None, None, True),
+        _Tok("dd", "", 1.2, 1.6, None, None, True),
+        _Tok("ee", "", 1.6, 2.0, None, None, True),
+    ]
+    # gated off: k=1 (after the comma) is not a candidate; even k=2 wins
+    cfg.comma_min_chars_before_allow = 1000
+    assert _split_into_lines(toks, cfg) == ["aaaaaaaaaa, bb", "cc dd ee"]
+    # gated on: comma split (0.02 + 0.15) beats the k=2 overflow (0.02*16)
+    cfg.comma_min_chars_before_allow = 5
+    assert _split_into_lines(toks, cfg) == ["aaaaaaaaaa,", "bb cc dd ee"]
+
+
+def test_soft_max_words_per_line_penalty():
+    cfg = PostProcessConfig()
+    cfg.max_lines = 2
+    cfg.max_chars_per_line = 8
+    cfg.soft_max_words_per_line = 1
+    toks = [
+        _Tok("aa", "", 0.0, 0.2, None, None, False),
+        _Tok("bb", "", 0.2, 0.4, None, None, True),
+        _Tok("cc", "", 0.4, 0.6, None, None, True),
+        _Tok("dd", "", 0.6, 0.8, None, None, True),
+    ]
+    lines = _split_into_lines(toks, cfg)
+    # with the soft cap, the balanced even split wins
+    assert lines == ["aa bb", "cc dd"]

@@ -123,3 +123,23 @@ def test_graft_entry_dryrun_small():
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 devices")
     g.dryrun_multichip(2)
+
+
+def test_plan_windows_multi_interleaves_streams():
+    from whisper_diarize_tpu.parallel.batching import plan_windows_multi
+
+    streams = [
+        [seg(0.0, 1.0), seg(2.0, 1.0)],  # stream 0: 2 windows
+        [seg(0.0, 1.0)],                  # stream 1: 1 window
+        [seg(0.0, 1.0), seg(2.0, 1.0), seg(4.0, 1.0)],  # stream 2: 3
+    ]
+    ws = plan_windows_multi(streams)
+    assert len(ws) == 6
+    # round-robin: first slice covers every stream once
+    assert [w.stream_idx for w in ws[:3]] == [0, 1, 2]
+    # per-stream order preserved
+    for s in range(3):
+        mine = [w for w in ws if w.stream_idx == s]
+        assert [(w.chunk_idx, w.window_idx) for w in mine] == sorted(
+            (w.chunk_idx, w.window_idx) for w in mine
+        )
