@@ -53,6 +53,11 @@ _LAZY = {
     "get_segments": ("whisper_diarize_tpu.vad", "get_segments"),
     "translate_text": ("whisper_diarize_tpu.translate", "translate_text"),
     "translate_segments": ("whisper_diarize_tpu.translate", "translate_segments"),
+    "to_srt": ("whisper_diarize_tpu.subtitles", "to_srt"),
+    "to_vtt": ("whisper_diarize_tpu.subtitles", "to_vtt"),
+    "to_txt": ("whisper_diarize_tpu.subtitles", "to_txt"),
+    "wer": ("whisper_diarize_tpu.evals", "wer"),
+    "der": ("whisper_diarize_tpu.evals", "der"),
 }
 
 
