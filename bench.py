@@ -1,20 +1,27 @@
 """Benchmark: batched transcription throughput on one TPU chip.
 
-Measures the BASELINE.json config-5 shape: 16 parallel 30 s audio windows
-through the full compute path — fused log-mel frontend, large-v3-turbo
-encoder, KV-cached greedy decode for a realistic token budget — and reports
-**xRT**: audio-seconds transcribed per wall-clock second per chip.
+Measures the BASELINE.md matrix (the reference publishes no numbers; the
+north-star target is >= 100x real-time per v5e chip on large-v3):
 
-The reference publishes no numbers (BASELINE.md); the north-star target is
->= 100x real-time per v5e chip. `vs_baseline` is therefore reported as the
-ratio to that 100x target.
+  1. large-v3, batch 16, greedy 64 tokens  — the BASELINE headline config
+  2. large-v3, batch 16, beam-5            — config 4 shape (long-form beam)
+  3. large-v3-turbo, batch 16, greedy 64   — round-1 continuity row
+  4. large-v3-turbo + diarization, batch 16 — config 5: greedy + DTW
+     alignment pass + CAM++ speaker embeddings in the loop
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Each row reports **xRT**: audio-seconds transcribed per wall-clock second
+per chip; `vs_baseline` is the ratio to the 100x target.
+
+Prints ONE JSON line: the headline row's {"metric", "value", "unit",
+"vs_baseline"} plus a "rows" array with every measured config.
+
+Env: WDT_BENCH_ROWS="1,3" limits to a subset (1-based row ids above).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -23,16 +30,24 @@ import numpy as np
 
 from whisper_diarize_tpu.models import whisper as wm
 from whisper_diarize_tpu.ops import decode as dec
+from whisper_diarize_tpu.ops import dtw as dtw_ops
 from whisper_diarize_tpu.ops.mel import N_SAMPLES, log_mel_spectrogram
 from whisper_diarize_tpu.tokenizer import DebugTokenizer
 
 BATCH = 16
 DECODE_TOKENS = 64  # ~2.1 tok/s of audio — typical speech density
-MODEL = "large-v3-turbo"
+TARGET_XRT = 100.0  # north-star: >= 100x real-time per v5e chip
 
 
-def main() -> None:
-    cfg = wm.PRESETS[MODEL]
+def _sync(x) -> None:
+    # NOTE: on the tunneled axon backend block_until_ready returns before
+    # execution completes; a host fetch is the only reliable sync.
+    np.asarray(x)
+
+
+def bench_config(model: str, *, beam: int = 1, diarize: bool = False,
+                 dtw: bool = False, iters: int = 3) -> dict:
+    cfg = wm.PRESETS[model]
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     params = wm.init_params_fast(cfg, dtype=dtype)
     tk = DebugTokenizer(num_languages=cfg.num_languages)
@@ -41,8 +56,12 @@ def main() -> None:
     # suppress EOT so every run decodes exactly DECODE_TOKENS steps
     # (random weights would otherwise terminate at arbitrary points and make
     # runs incomparable)
-    suppress = dec.build_suppress_mask(sp, cfg.n_vocab, extra_suppress=[sp.eot])
-    dc = dec.DecodeConfig(max_tokens=DECODE_TOKENS, with_timestamps=True)
+    suppress = jnp.asarray(
+        dec.build_suppress_mask(sp, cfg.n_vocab, extra_suppress=[sp.eot])
+    )
+    dc = dec.DecodeConfig(
+        max_tokens=DECODE_TOKENS, with_timestamps=True, beam_size=max(beam, 1)
+    )
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(
@@ -52,29 +71,53 @@ def main() -> None:
         np.tile(np.array(tk.sot_sequence(language="en"), np.int32), (BATCH, 1))
     )
 
-    suppress_dev = jnp.asarray(suppress)
+    decode_fn = dec.beam_decode if beam > 1 else dec.greedy_decode
 
     @jax.jit
     def full_step(params, audio, prompt, suppress):
-        # ONE dispatch: fused mel -> encoder -> KV-cached greedy decode
+        # ONE dispatch: fused mel -> encoder -> KV-cached decode
         mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
         xa = wm.encode(params, mel.astype(dtype), cfg)
-        return dec.greedy_decode(
+        res = decode_fn(
             params, cfg, dc, sp, xa, prompt, prompt.shape[1],
             suppress_mask=suppress,
         )
+        return res, xa
+
+    heads = wm.alignment_heads_for(model, cfg)
+    align = jax.jit(
+        lambda p, t, xa: wm.alignment_cross_attn(p, cfg, t, xa, heads)
+    )
+
+    if diarize:
+        from whisper_diarize_tpu.models import campplus
+
+        emb_params = campplus.init_params()
+        audio_i16 = [
+            (np.asarray(audio[b]) * 32768).astype(np.int16) for b in range(BATCH)
+        ]
 
     def run_once():
-        res = full_step(params, audio, prompt, suppress_dev)
-        # NOTE: on the tunneled axon backend block_until_ready returns before
-        # execution completes; a host fetch is the only reliable sync.
-        np.asarray(res.tokens)
-        return res
+        res, xa = full_step(params, audio, prompt, suppress)
+        if dtw:
+            toks = np.asarray(res.tokens)
+            sot = np.tile(
+                np.array(tk.sot_sequence(language="en"), np.int32), (BATCH, 1)
+            )
+            seq = jnp.asarray(np.concatenate([sot, toks], axis=1))
+            qk = np.asarray(align(params, seq, xa))
+            for b in range(BATCH):
+                dtw_ops.token_anchor_times(
+                    qk[b][:, sot.shape[1]:, :], cfg.n_audio_ctx
+                )
+        if diarize:
+            from whisper_diarize_tpu.models import campplus
 
-    # warmup / compile
-    run_once()
+            campplus.compute_embeddings_batch(emb_params, audio_i16)
+        _sync(res.tokens)
 
-    iters = 3
+    run_once()  # warmup / compile
+
     t0 = time.perf_counter()
     for _ in range(iters):
         run_once()
@@ -82,16 +125,37 @@ def main() -> None:
 
     audio_seconds = BATCH * (N_SAMPLES / 16000.0)
     xrt = audio_seconds / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"xRT {MODEL} b{BATCH} greedy{DECODE_TOKENS} (audio-sec/sec/chip)",
-                "value": round(xrt, 2),
-                "unit": "x realtime",
-                "vs_baseline": round(xrt / 100.0, 3),
-            }
-        )
+    label = f"xRT {model} b{BATCH} " + (
+        f"beam{beam}-{DECODE_TOKENS}" if beam > 1 else f"greedy{DECODE_TOKENS}"
     )
+    if dtw:
+        label += "+dtw"
+    if diarize:
+        label += "+diarize"
+    return {
+        "metric": f"{label} (audio-sec/sec/chip)",
+        "value": round(xrt, 2),
+        "unit": "x realtime",
+        "vs_baseline": round(xrt / TARGET_XRT, 3),
+    }
+
+
+ROWS = {
+    1: dict(model="large-v3"),
+    2: dict(model="large-v3", beam=5),
+    3: dict(model="large-v3-turbo"),
+    4: dict(model="large-v3-turbo", diarize=True, dtw=True),
+}
+
+
+def main() -> None:
+    want = os.environ.get("WDT_BENCH_ROWS", "1,2,3,4")
+    ids = [int(s) for s in want.split(",") if s.strip()]
+    rows = []
+    for rid in ids:
+        rows.append(bench_config(**ROWS[rid]))
+    head = rows[0]
+    print(json.dumps({**head, "rows": rows}))
 
 
 if __name__ == "__main__":

@@ -97,10 +97,82 @@ def test_beam_decode_runs(setup):
     lengths = np.asarray(res.lengths)
     assert tokens.shape == (2, 12)
     _check_timestamp_grammar(tokens, lengths, tk.specials)
-    # beam average logprob should be >= greedy's (same model, wider search)
+    # sum_logprob is not comparable across different-length hypotheses (beam
+    # ranks finished hypotheses by AVG logprob); instead require that a
+    # 1-beam search reproduces the greedy path exactly
+    dc1 = dec.DecodeConfig(beam_size=1, max_tokens=12, blank_id=32)
+    b1 = dec.beam_decode(
+        params, TINY_TEST_CFG, dc1, tk.specials, xa, _prompt(tk, 2), 3
+    )
     dcg = dec.DecodeConfig(max_tokens=12, blank_id=32)
     g = dec.greedy_decode(params, TINY_TEST_CFG, dcg, tk.specials, xa, _prompt(tk, 2), 3)
-    assert (np.asarray(res.sum_logprob) >= np.asarray(g.sum_logprob) - 1e-3).all()
+    gl = np.asarray(g.lengths)
+    bt, gt = np.asarray(b1.tokens), np.asarray(g.tokens)
+    for b in range(gt.shape[0]):
+        np.testing.assert_array_equal(bt[b, : gl[b]], gt[b, : gl[b]])
+
+
+def test_per_row_prompts_match_row_by_row(setup):
+    """Left-padded per-row prompts (row_pad masking + shifted positions) must
+    reproduce each row's stand-alone decode exactly (VERDICT r1 item 5: each
+    stream keeps its own rolling prompt inside one full batch)."""
+    params, xa, tk = setup
+    import jax.numpy as jnp
+
+    from whisper_diarize_tpu.transcribe import TranscribeStep
+
+    step = TranscribeStep(
+        params, TINY_TEST_CFG, tk, enable_dtw=False,
+        decode_config=dec.DecodeConfig(max_tokens=10, blank_id=32),
+        strategy="greedy",
+    )
+    prev_a = tk.encode(" hello there, friend")
+    prev_b = None  # second row decodes promptless
+
+    # batched: per-row prompts
+    res = step.decode(xa, "en", "transcribe", prev_tokens=[prev_a, prev_b])
+    # row-by-row references with uniform prompts
+    ref_a = step.decode(xa[:1], "en", "transcribe", prev_tokens=prev_a)
+    ref_b = step.decode(xa[1:], "en", "transcribe", prev_tokens=None)
+
+    np.testing.assert_array_equal(
+        np.asarray(res.tokens)[0], np.asarray(ref_a.tokens)[0]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.tokens)[1], np.asarray(ref_b.tokens)[0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.sum_logprob),
+        np.concatenate([np.asarray(ref_a.sum_logprob), np.asarray(ref_b.sum_logprob)]),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.no_speech_prob),
+        np.concatenate([
+            np.asarray(ref_a.no_speech_prob), np.asarray(ref_b.no_speech_prob)
+        ]),
+        atol=1e-5,
+    )
+
+
+def test_per_row_prompts_beam_runs(setup):
+    """Beam search with per-row prompts: grammar holds, shapes right."""
+    params, xa, tk = setup
+
+    from whisper_diarize_tpu.transcribe import TranscribeStep
+
+    step = TranscribeStep(
+        params, TINY_TEST_CFG, tk, enable_dtw=False,
+        decode_config=dec.DecodeConfig(beam_size=2, max_tokens=8, blank_id=32),
+        strategy="beam_search",
+    )
+    res = step.decode(
+        xa, "en", "transcribe",
+        prev_tokens=[tk.encode(" alpha"), tk.encode(" longer previous text here")],
+    )
+    tokens = np.asarray(res.tokens)
+    assert tokens.shape == (2, 8)
+    _check_timestamp_grammar(tokens, np.asarray(res.lengths), tk.specials)
 
 
 def test_temperature_sampling_differs(setup):

@@ -62,14 +62,13 @@ def test_median_filter():
 
 
 def test_token_anchor_times_synthetic():
-    """Attention concentrated on a moving diagonal -> anchors increase."""
+    """QK logits concentrated on a moving diagonal -> anchors increase."""
     S, Ta = 6, 100
-    attn = np.full((2, S, Ta), 1e-4, np.float32)
+    qk = np.zeros((2, S, Ta), np.float32)
     centers = [5, 20, 35, 50, 65, 80]
     for s, c in enumerate(centers):
-        attn[:, s, c - 2 : c + 3] = 1.0
-    attn /= attn.sum(-1, keepdims=True)
-    anchors = dtw_ops.token_anchor_times(attn, Ta)
+        qk[:, s, c - 2 : c + 3] = 8.0
+    anchors = dtw_ops.token_anchor_times(qk, Ta)
     assert anchors.shape == (S,)
     assert (np.diff(anchors) > 0).all()
     # each token's onset lies between its predecessor's attention center and
@@ -84,12 +83,44 @@ def test_token_anchor_times_synthetic():
 def test_token_anchor_times_respects_frame_mask():
     """With only half the frames valid, anchors stay inside the valid range."""
     S, Ta = 4, 100
-    attn = np.full((1, S, Ta), 1.0 / Ta, np.float32)
-    # attention mass in the padded half only -> must be ignored
-    attn[:, :, 80:] = 10.0
-    attn /= attn.sum(-1, keepdims=True)
-    anchors = dtw_ops.token_anchor_times(attn, 50)
+    qk = np.zeros((1, S, Ta), np.float32)
+    # attention mass in the padded half only -> must be sliced away
+    qk[:, :, 80:] = 9.0
+    anchors = dtw_ops.token_anchor_times(qk, 50)
     assert (anchors <= 50 * 0.02 + 1e-6).all()
+
+
+def test_token_anchor_mae_within_20ms():
+    """Known ground-truth alignment -> anchor MAE <= 20 ms (one encoder
+    frame), the BASELINE.md word-timestamp target (VERDICT r1 item 7).
+
+    Each token s owns the frame span [onsets[s], onsets[s+1]); its QK logits
+    peak uniformly over that span. The DTW onset must recover onsets[s]."""
+    onsets = [0, 12, 30, 41, 77, 90, 120]  # frame indices; last = end
+    S = len(onsets) - 1
+    Ta = 150  # > valid 120: exercises the slice too
+    rng = np.random.default_rng(0)
+    qk = rng.standard_normal((3, S, Ta)).astype(np.float32) * 0.05
+    for s in range(S):
+        qk[:, s, onsets[s]: onsets[s + 1]] += 6.0
+    anchors = dtw_ops.token_anchor_times(qk, 120)
+    truth = np.array(onsets[:-1], np.float64) * dtw_ops.FRAME_SECONDS
+    mae = np.abs(anchors - truth).mean()
+    assert mae <= 0.020 + 1e-9, (mae, anchors, truth)
+
+
+def test_alignment_cost_slices_before_softmax():
+    """The frame slice must happen BEFORE the softmax: huge logits in the
+    padded region must not distort the valid columns' normalization."""
+    S, Ta, n_valid = 3, 40, 20
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((2, S, Ta)).astype(np.float32)
+    poisoned = base.copy()
+    poisoned[:, :, n_valid:] += 50.0  # would dominate a pre-slice softmax
+    a = dtw_ops.alignment_cost(base, n_valid)
+    b = dtw_ops.alignment_cost(poisoned, n_valid)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    assert a.shape == (S, n_valid)
 
 
 def test_interpolate_word_timestamps():

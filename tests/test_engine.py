@@ -110,10 +110,76 @@ def test_offset_applied(snapshot_dir, tmp_path, wav_path):
 
 
 def test_dtw_enabled_path(snapshot_dir, tmp_path, wav_path):
+    """DTW word timestamps must satisfy span invariants, not just exist:
+    every word is within the audio bounds, spans are well-formed and
+    monotone non-decreasing, probabilities are populated."""
     eng = make_engine(snapshot_dir, tmp_path, enable_dtw=True)
     opts = TranscribeOptions(enable_vad=False, lang="en")
     cues = eng.transcribe_audio(wav_path, opts)
     assert isinstance(cues, list)
+    import wave
+
+    with wave.open(wav_path) as f:
+        audio_dur = f.getnframes() / f.getframerate()
+    # random weights may legitimately decode an empty window; any words that
+    # DO exist must satisfy the invariants (the deterministic word-span test
+    # lives at the step level: test_dtw_word_span_invariants)
+    words = [w for c in cues for w in (c.words or [])]
+    prev_start = -1.0
+    for w in words:
+        assert w.end >= w.start >= 0.0
+        assert w.start <= audio_dur + 1e-6
+        assert w.end <= audio_dur + 30.0  # padded-window upper bound
+        assert w.start >= prev_start - 1e-6  # monotone across the stream
+        prev_start = w.start
+        assert w.probability is None or 0.0 <= w.probability <= 1.0
+
+
+def test_dtw_word_span_invariants(snapshot_dir):
+    """Step-level DTW invariants, deterministic: decode a window, build chunk
+    results with DTW enabled, and check every token span is inside the chunk,
+    well-formed, monotone, and carries a probability (VERDICT r1 item 9)."""
+    from whisper_diarize_tpu.models import weights as wmod
+    from whisper_diarize_tpu.ops import decode as dec
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+    from whisper_diarize_tpu.transcribe import TranscribeStep
+
+    params, cfg = wmod.load_model(snapshot_dir)
+    tk = DebugTokenizer()
+    step = TranscribeStep(
+        params, cfg, tk, enable_dtw=True,
+        # timestamps off + EOT suppressed -> every sampled token is text, so
+        # the span list is deterministically non-empty under random weights
+        decode_config=dec.DecodeConfig(
+            max_tokens=16, blank_id=32, with_timestamps=False
+        ),
+        strategy="greedy",
+    )
+    import jax.numpy as jnp
+
+    # DebugTokenizer decodes only byte ids < 256 to text; restrict sampling
+    # to printable ASCII so every sampled token is a visible text span
+    printable = set(range(33, 127))
+    extra = [i for i in range(cfg.n_vocab) if i not in printable]
+    step._suppress = jnp.asarray(
+        dec.build_suppress_mask(tk.specials, cfg.n_vocab, extra)
+    )
+    rng = np.random.default_rng(0)
+    n = 16000 * 3
+    audio = np.zeros((1, 480000), np.float32)
+    audio[0, :n] = rng.standard_normal(n).astype(np.float32) * 0.1
+    xa = step.encode(step.mel(audio))
+    res = step.decode(xa, "en", "transcribe")
+    crs = step.build_chunk_results(res, xa, [n], translated=False)
+    words = crs[0].words
+    assert words, "decode produced no token spans"
+    chunk_dur = n / 16000.0
+    prev = 0.0
+    for w in words:
+        assert 0.0 <= w.start <= w.end <= chunk_dur + 1e-6
+        assert w.start >= prev - 1e-6
+        prev = w.start
+        assert w.probability is not None and 0.0 <= w.probability <= 1.0
 
 
 def test_formatting_overrides_respected(snapshot_dir, tmp_path, wav_path):
@@ -130,6 +196,47 @@ def test_cancellation_stops_early(snapshot_dir, tmp_path, wav_path):
     opts = TranscribeOptions(enable_vad=False, lang="en")
     cues = eng.transcribe_audio(wav_path, opts, callbacks=cb)
     assert cues == []
+
+
+def test_mid_decode_cancellation(snapshot_dir):
+    """A cancel raised DURING decode must stop the token loop within one
+    poll window — the loop may not run out the full token budget
+    (VERDICT r1 item 8; reference aborts whisper.cpp via its abort
+    callback at `transcribe.rs:348-350`)."""
+    from whisper_diarize_tpu.models import weights as wmod
+    from whisper_diarize_tpu.ops import decode as dec
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+    from whisper_diarize_tpu.transcribe import TranscribeStep
+
+    params, cfg = wmod.load_model(snapshot_dir)
+    import jax.numpy as jnp
+
+    tk = DebugTokenizer()
+    step = TranscribeStep(
+        params, cfg, tk, enable_dtw=False,
+        decode_config=dec.DecodeConfig(max_tokens=96, blank_id=32),
+        strategy="greedy",
+    )
+    # suppress EOT so the loop would otherwise run all 96 steps
+    step._suppress = jnp.asarray(dec.build_suppress_mask(
+        tk.specials, cfg.n_vocab, [tk.specials.eot]
+    ))
+    mel = step.mel(np.zeros((2, 480000), np.float32))
+    xa = step.encode(mel)
+
+    calls = []
+
+    def cancel_on_second_poll():
+        calls.append(1)
+        return len(calls) >= 2
+
+    res = step.decode(xa, "en", "transcribe",
+                      is_cancelled=cancel_on_second_poll)
+    lengths = np.asarray(res.lengths)
+    # cancel landed after the second 32-step window: the third never ran
+    assert len(calls) == 2
+    assert (lengths <= 64).all()
+    assert (lengths < 96).all()
 
 
 def test_sequential_prompt_mode(snapshot_dir, tmp_path, wav_path):
@@ -270,10 +377,39 @@ def test_decode_with_fallback_unit(snapshot_dir):
     )
     mel = step.mel(np.zeros((2, 480000), np.float32))
     xa = step.encode(mel)
-    res = step.decode_with_fallback(xa, "en", "transcribe",
-                                    temperatures=(0.0, 0.5, 1.0))
+    res, temps = step.decode_with_fallback(xa, "en", "transcribe",
+                                           temperatures=(0.0, 0.5, 1.0))
     assert np.asarray(res.tokens).shape[0] == 2
     assert np.isfinite(np.asarray(res.avg_logprob)).all()
+    assert temps.shape == (2,)
+
+
+def test_decode_with_fallback_skips_padding_rows(snapshot_dir):
+    """Silent zero-padding rows of a partial batch must never trigger the
+    retry ladder (ADVICE r1): with n_valid_rows=1 the pad row is exempt."""
+    import numpy as np
+
+    from whisper_diarize_tpu.models import weights as wmod
+    from whisper_diarize_tpu.ops import decode as dec
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+    from whisper_diarize_tpu.transcribe import TranscribeStep
+
+    params, cfg = wmod.load_model(snapshot_dir)
+    step = TranscribeStep(
+        params, cfg, DebugTokenizer(), enable_dtw=False,
+        decode_config=dec.DecodeConfig(max_tokens=8, blank_id=32),
+        strategy="greedy",
+    )
+    mel = step.mel(np.zeros((2, 480000), np.float32))
+    xa = step.encode(mel)
+    # logprob_threshold=+inf marks every judged row bad; the pad row must
+    # stay at temperature 0 while the valid row climbs the ladder
+    res, temps = step.decode_with_fallback(
+        xa, "en", "transcribe", temperatures=(0.0, 0.7),
+        logprob_threshold=float("inf"), n_valid_rows=1,
+    )
+    assert temps[0] == np.float32(0.7)
+    assert temps[1] == 0.0
 
 
 def test_transcribe_audio_batch(snapshot_dir, tmp_path, wav_path):
@@ -296,10 +432,14 @@ def test_transcribe_audio_batch(snapshot_dir, tmp_path, wav_path):
     assert [c.text for c in single] == [c.text for c in results[0]]
 
 
-def test_transcribe_audio_batch_rejects_sequential(snapshot_dir, tmp_path, wav_path):
+def test_transcribe_audio_batch_sequential_supported(snapshot_dir, tmp_path, wav_path):
+    """sequential_prompt batches across streams via per-row rolling prompts
+    (used to be rejected; VERDICT r1 item 5)."""
     eng = make_engine(snapshot_dir, tmp_path, sequential_prompt=True)
-    with pytest.raises(ValueError, match="sequential_prompt"):
-        eng.transcribe_audio_batch([wav_path], TranscribeOptions(enable_vad=False))
+    out = eng.transcribe_audio_batch(
+        [wav_path], TranscribeOptions(enable_vad=False, lang="en")
+    )
+    assert len(out) == 1 and isinstance(out[0], list)
 
 
 def test_transcribe_audio_batch_missing_file(snapshot_dir, tmp_path, wav_path):

@@ -117,12 +117,274 @@ def test_sharded_forward_matches_replicated():
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
 
 
+def _tiny_cfg():
+    return wm.WhisperConfig(
+        n_mels=80, n_vocab=51872,
+        n_audio_ctx=1500, n_audio_state=64, n_audio_head=2, n_audio_layer=2,
+        n_text_ctx=448, n_text_state=64, n_text_head=2, n_text_layer=2,
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("strategy", ["greedy", "beam"])
+def test_sharded_decode_matches_single_device(strategy):
+    """Data-parallel sharded greedy/beam decode must reproduce the
+    single-device result: identical sampled tokens/lengths (dp only moves
+    whole batch rows onto chips), scores equal to float-accumulation noise
+    (VERDICT r1 item 1)."""
+    import jax.numpy as jnp
+
+    from whisper_diarize_tpu.ops import decode as dec
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+
+    cfg = _tiny_cfg()
+    params = wm.init_params(cfg, seed=3)
+    tk = DebugTokenizer(num_languages=99)
+    sp = tk.specials
+    dc = dec.DecodeConfig(max_tokens=12, beam_size=3, blank_id=32)
+    B = 8
+    rng = np.random.default_rng(5)
+    xa = jnp.asarray(rng.standard_normal((B, 1500, 64)), jnp.float32)
+    prompt = jnp.asarray(
+        np.tile(np.array(tk.sot_sequence(language="en"), np.int32), (B, 1))
+    )
+
+    fn = dec.greedy_decode if strategy == "greedy" else dec.beam_decode
+    ref = fn(params, cfg, dc, sp, xa, prompt, prompt.shape[1])
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    params_sh = shard_params(params, mesh)
+    xa_sh = jax.device_put(xa, data_sharding(mesh, 3))
+    prompt_sh = jax.device_put(prompt, data_sharding(mesh, 2))
+    out = fn(params_sh, cfg, dc, sp, xa_sh, prompt_sh, prompt.shape[1])
+
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(out.lengths), np.asarray(ref.lengths))
+    # sharded/unsharded are different XLA compilations (different fusion
+    # tilings), so float accumulations may differ in the last bits
+    np.testing.assert_allclose(
+        np.asarray(out.sum_logprob), np.asarray(ref.sum_logprob),
+        atol=1e-4, rtol=1e-5,
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_decode_dp_tp_close():
+    """dp x tp (4x2) sharded decode: TP changes reduction order, so allow
+    float tolerance but require identical sampled tokens."""
+    import jax.numpy as jnp
+
+    from whisper_diarize_tpu.ops import decode as dec
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+
+    cfg = _tiny_cfg()
+    params = wm.init_params(cfg, seed=3)
+    tk = DebugTokenizer(num_languages=99)
+    sp = tk.specials
+    dc = dec.DecodeConfig(max_tokens=10, blank_id=32)
+    B = 4
+    rng = np.random.default_rng(6)
+    xa = jnp.asarray(rng.standard_normal((B, 1500, 64)), jnp.float32)
+    prompt = jnp.asarray(
+        np.tile(np.array(tk.sot_sequence(language="en"), np.int32), (B, 1))
+    )
+    ref = dec.greedy_decode(params, cfg, dc, sp, xa, prompt, prompt.shape[1])
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    params_sh = shard_params(params, mesh)
+    xa_sh = jax.device_put(xa, data_sharding(mesh, 3))
+    prompt_sh = jax.device_put(prompt, data_sharding(mesh, 2))
+    out = dec.greedy_decode(
+        params_sh, cfg, dc, sp, xa_sh, prompt_sh, prompt.shape[1]
+    )
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+    np.testing.assert_allclose(
+        np.asarray(out.avg_logprob), np.asarray(ref.avg_logprob),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_engine_mesh_path_matches_single_device(tmp_path):
+    """The Engine's mesh= path (EngineConfig.mesh_shape) must produce the
+    same cues as the single-device engine."""
+    from whisper_diarize_tpu.audio import write_wav
+    from whisper_diarize_tpu.engine import Engine, EngineConfig
+    from whisper_diarize_tpu.models import weights as weights_mod
+    from whisper_diarize_tpu.types import TranscribeOptions
+
+    snap = tmp_path / "model"
+    snap.mkdir()
+    cfg_m = wm.WhisperConfig(
+        n_mels=80, n_vocab=51865,
+        n_audio_ctx=1500, n_audio_state=64, n_audio_head=2, n_audio_layer=2,
+        n_text_ctx=448, n_text_state=64, n_text_head=2, n_text_layer=2,
+    )
+    weights_mod.init_random_snapshot(snap, cfg=cfg_m, seed=0)
+
+    rng = np.random.default_rng(1)
+    wav = str(tmp_path / "in.wav")
+    x = (rng.standard_normal(16000 * 3) * 6000).astype(np.int16)
+    write_wav(wav, x)
+
+    def run(mesh_shape):
+        eng = Engine(EngineConfig(
+            cache_dir=str(tmp_path / "cache"),
+            whisper_model_path=str(snap),
+            enable_dtw=False, batch_size=4, max_decode_tokens=8,
+            mesh_shape=mesh_shape,
+        ))
+        opts = TranscribeOptions(enable_vad=False, lang="en")
+        return eng.transcribe_audio(wav, opts)
+
+    ref = run(None)
+    out = run((4, 1))
+    assert [ (c.start, c.end, c.text) for c in out ] == [
+        (c.start, c.end, c.text) for c in ref
+    ]
+
+
+def test_engine_mesh_batch_divisibility(tmp_path):
+    from whisper_diarize_tpu.engine import Engine, EngineConfig
+    from whisper_diarize_tpu.models import weights as weights_mod
+    from whisper_diarize_tpu.types import TranscribeOptions
+    from whisper_diarize_tpu.audio import write_wav
+
+    snap = tmp_path / "model"
+    snap.mkdir()
+    weights_mod.init_random_snapshot(
+        snap,
+        cfg=wm.WhisperConfig(
+            n_mels=80, n_vocab=51865,
+            n_audio_ctx=1500, n_audio_state=64, n_audio_head=2, n_audio_layer=2,
+            n_text_ctx=448, n_text_state=64, n_text_head=2, n_text_layer=2,
+        ),
+        seed=0,
+    )
+    wav = str(tmp_path / "a.wav")
+    write_wav(wav, np.zeros(16000, np.int16))
+    eng = Engine(EngineConfig(
+        cache_dir=str(tmp_path / "cache"), whisper_model_path=str(snap),
+        batch_size=3, mesh_shape=(4, 1),
+    ))
+    with pytest.raises(ValueError, match="divisible"):
+        eng.transcribe_audio(wav, TranscribeOptions(enable_vad=False, lang="en"))
+
+
 def test_graft_entry_dryrun_small():
     import __graft_entry__ as g
 
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 devices")
     g.dryrun_multichip(2)
+
+
+def test_window_scheduler_seek_advance():
+    """whisper.cpp seek semantics: a full window advances to the decode's
+    last timestamp, the next window starts there (VERDICT r1 item 4)."""
+    from whisper_diarize_tpu.parallel.batching import WindowScheduler
+
+    sched = WindowScheduler([[seg(0.0, 70.0)]])
+    g1 = sched.next_batch(4)
+    assert len(g1) == 1  # window 2 depends on window 1's seek -> serial
+    w = g1[0]
+    assert w.start == 0.0 and len(w.samples) == N_SAMPLES
+    # decode "ended" at 20 s -> next window starts at 20 s, not 30 s
+    sched.advance(w, seek_samples=20 * 16000)
+    w2 = sched.next_batch(4)[0]
+    assert w2.start == pytest.approx(20.0)
+    assert w2.window_idx == 1
+    # partial final window consumes fully regardless of seek
+    sched.advance(w2, seek_samples=25 * 16000)
+    w3 = sched.next_batch(4)[0]
+    assert w3.start == pytest.approx(45.0)
+    assert len(w3.samples) == 25 * 16000  # 70 - 45
+    sched.advance(w3, seek_samples=5 * 16000)  # partial: ignored, consume all
+    assert sched.next_batch(4) == []
+    assert not sched.pending()
+
+
+def test_window_scheduler_min_seek_progress():
+    """A degenerate tiny seek still advances >= 1 s (no infinite loops)."""
+    from whisper_diarize_tpu.parallel.batching import WindowScheduler
+
+    sched = WindowScheduler([[seg(0.0, 61.0)]])
+    w = sched.next_batch(1)[0]
+    sched.advance(w, seek_samples=100)  # 6 ms "seek"
+    w2 = sched.next_batch(1)[0]
+    assert w2.start >= 1.0 - 1e-9
+
+
+def test_window_scheduler_one_per_stream():
+    """sequential_prompt mode: at most one window per stream per batch, but
+    the batch still fills across streams."""
+    from whisper_diarize_tpu.parallel.batching import WindowScheduler
+
+    streams = [[seg(0.0, 2.0), seg(5.0, 2.0)] for _ in range(3)]
+    sched = WindowScheduler(streams, one_per_stream=True)
+    g = sched.next_batch(8)
+    assert len(g) == 3  # one per stream, not one total
+    assert sorted(w.stream_idx for w in g) == [0, 1, 2]
+    for w in g:
+        sched.advance(w)
+    g2 = sched.next_batch(8)
+    assert sorted(w.stream_idx for w in g2) == [0, 1, 2]
+    assert all(w.chunk_idx == 1 for w in g2)
+
+
+def test_window_scheduler_fills_across_chunks():
+    """Without prompt carry, several chunks of one stream share a batch
+    (independent windows), but one chunk's serial windows never do."""
+    from whisper_diarize_tpu.parallel.batching import WindowScheduler
+
+    sched = WindowScheduler([[seg(0.0, 40.0), seg(50.0, 2.0), seg(60.0, 2.0)]])
+    g = sched.next_batch(8)
+    # chunk 0 contributes ONE window (its next depends on seek), chunks 1, 2
+    # contribute theirs
+    assert [(w.chunk_idx, w.window_idx) for w in g] == [(0, 0), (1, 0), (2, 0)]
+
+
+def test_sequential_prompt_batch_matches_serial(tmp_path):
+    """Per-row rolling prompts: a 2-stream batched run with sequential_prompt
+    must reproduce each stream's stand-alone serial result (VERDICT r1
+    item 5 done-criterion)."""
+    from whisper_diarize_tpu.audio import write_wav
+    from whisper_diarize_tpu.engine import Engine, EngineConfig
+    from whisper_diarize_tpu.models import weights as weights_mod
+    from whisper_diarize_tpu.types import TranscribeOptions
+
+    snap = tmp_path / "model"
+    snap.mkdir()
+    weights_mod.init_random_snapshot(
+        snap,
+        cfg=wm.WhisperConfig(
+            n_mels=80, n_vocab=51865,
+            n_audio_ctx=1500, n_audio_state=64, n_audio_head=2, n_audio_layer=2,
+            n_text_ctx=448, n_text_state=64, n_text_head=2, n_text_layer=2,
+        ),
+        seed=0,
+    )
+    rng = np.random.default_rng(9)
+    wavs = []
+    for i in range(2):
+        p = str(tmp_path / f"s{i}.wav")
+        write_wav(p, (rng.standard_normal(16000 * 3) * 6000).astype(np.int16))
+        wavs.append(p)
+
+    def engine():
+        return Engine(EngineConfig(
+            cache_dir=str(tmp_path / "cache"), whisper_model_path=str(snap),
+            enable_dtw=False, batch_size=4, max_decode_tokens=8,
+            sequential_prompt=True, temperature_fallback=False,
+        ))
+
+    opts = TranscribeOptions(enable_vad=True, lang="en")
+    serial = [engine().transcribe_audio(w, opts) for w in wavs]
+    batched = engine().transcribe_audio_batch(wavs, opts)
+    for ref, out in zip(serial, batched):
+        assert [(c.start, c.end, c.text) for c in out] == [
+            (c.start, c.end, c.text) for c in ref
+        ]
 
 
 def test_plan_windows_multi_interleaves_streams():

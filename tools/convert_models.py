@@ -59,6 +59,15 @@ def convert_silero(src: str, dst: str) -> None:
     out = {}
     mapped = set()
 
+    for cand in ("_model.stft.forward_basis_buffer", "stft.forward_basis_buffer"):
+        if cand in sd:
+            # torch conv weight [258, 1, 256] -> framing matmul basis [256, 258]
+            out["stft_basis"] = np.ascontiguousarray(
+                sd[cand].reshape(sd[cand].shape[0], -1).T
+            )
+            mapped.add(cand)
+            break
+
     for i in range(4):
         for cand in (
             f"_model.encoder.{i}.reparam_conv",
@@ -149,21 +158,126 @@ def convert_pyannote(src: str, dst: str) -> None:
     print(f"[pyannote] wrote {dst} ({len(out)} tensors)")
 
 
-def convert_campplus(src: str, dst: str) -> None:
-    """wespeaker CAM++ torch checkpoint -> models/campplus.load_params.
+CAMPPLUS_BLOCK_LAYERS = (12, 24, 16)
 
-    The upstream D-TDNN block structure must match `models/campplus.py`'s
-    compact config; mismatched checkpoints are reported, not silently
-    truncated."""
+
+def convert_campplus(src: str, dst: str):
+    """wespeaker/modelscope CAM++ torch checkpoint ->
+    models/campplus.load_params layout.
+
+    Upstream module names (modelscope `speakerlab/models/campplus/DTDNN.py`,
+    vendored by wespeaker; the reference's ONNX at `engine.rs:91` was
+    exported from this net):
+
+      head.conv1 / head.bn1 / head.layer{1,2}.{0,1}.(conv1|bn1|conv2|bn2|
+        shortcut.{0,1}) / head.conv2 / head.bn2                     (FCM)
+      xvector.tdnn.linear + .nonlinear.batchnorm                    (stem)
+      xvector.block{1..3}.tdnnd{1..N}.nonlinear1.batchnorm,
+        .linear1, .nonlinear2.batchnorm,
+        .cam_layer.(linear_local|linear1|linear2)                   (blocks)
+      xvector.transit{1..3}.(nonlinear.batchnorm|linear)
+      xvector.out_nonlinear.batchnorm
+      xvector.dense.linear + .nonlinear.batchnorm (affine=False)
+
+    Returns (missing, unmapped) name lists; both empty on a clean convert.
+    """
     sd = _load_torch_state(src)
-    # wespeaker checkpoints vary; dump a skeleton map and every key so the
-    # user can finish the mapping for their exact release
-    np.savez(dst, **{k.replace("/", "."): v for k, v in sd.items()})
-    print(
-        f"[campplus] wrote raw tensor dump ({len(sd)} tensors) to {dst}; "
-        "rename keys to the models/campplus.py layout (fcm1/fcm2/stem/"
-        "blocks.i.layers.j.{bottleneck,conv,cam_g,cam_s}/blocks.i.transition/proj)"
-    )
+    # strip a wrapper prefix if present (DDP / wespeaker wrappers)
+    for prefix in ("", "module.", "speaker_extractor.", "embedding_model.",
+                   "_model.", "model."):
+        if prefix + "head.conv1.weight" in sd:
+            if prefix:
+                sd = {k[len(prefix):]: v for k, v in sd.items()
+                      if k.startswith(prefix)}
+            break
+
+    out = {}
+    mapped = set()
+    missing = []
+
+    def take(name):
+        if name in sd:
+            mapped.add(name)
+            return sd[name]
+        missing.append(name)
+        return None
+
+    def conv2d(key, name):
+        w = take(name)
+        if w is not None:  # torch [out, in, kh, kw] -> ours [kh, kw, in, out]
+            out[key] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+    def conv1d(key, name):
+        w = take(name)
+        if w is not None:  # torch [out, in, k] -> ours [k, in, out]
+            out[key] = np.ascontiguousarray(w.transpose(2, 1, 0))
+
+    def vec(key, name):
+        w = take(name)
+        if w is not None:
+            out[key] = np.asarray(w)
+
+    def bn(key, name):
+        vec(f"{key}.g", f"{name}.weight")
+        vec(f"{key}.b", f"{name}.bias")
+        vec(f"{key}.m", f"{name}.running_mean")
+        vec(f"{key}.v", f"{name}.running_var")
+        mapped.add(f"{name}.num_batches_tracked")  # bookkeeping, unused
+
+    # FCM head
+    conv2d("fcm.conv1_w", "head.conv1.weight")
+    bn("fcm.bn1", "head.bn1")
+    for li, layer in enumerate(("layer1", "layer2")):
+        for bi in range(2):
+            pre = f"head.{layer}.{bi}"
+            okey = f"fcm.{layer}.{bi}"
+            conv2d(f"{okey}.conv1_w", f"{pre}.conv1.weight")
+            bn(f"{okey}.bn1", f"{pre}.bn1")
+            conv2d(f"{okey}.conv2_w", f"{pre}.conv2.weight")
+            bn(f"{okey}.bn2", f"{pre}.bn2")
+            if f"{pre}.shortcut.0.weight" in sd:  # stride-2 blocks only
+                conv2d(f"{okey}.sc_w", f"{pre}.shortcut.0.weight")
+                bn(f"{okey}.sc_bn", f"{pre}.shortcut.1")
+    conv2d("fcm.conv2_w", "head.conv2.weight")
+    bn("fcm.bn2", "head.bn2")
+
+    # TDNN stem
+    conv1d("tdnn.w", "xvector.tdnn.linear.weight")
+    bn("tdnn.bn", "xvector.tdnn.nonlinear.batchnorm")
+
+    # CAM-Dense-TDNN blocks + transit layers
+    for b, n_layers in enumerate(CAMPPLUS_BLOCK_LAYERS):
+        for i in range(n_layers):
+            pre = f"xvector.block{b + 1}.tdnnd{i + 1}"
+            okey = f"blocks.{b}.layers.{i}"
+            bn(f"{okey}.bn1", f"{pre}.nonlinear1.batchnorm")
+            conv1d(f"{okey}.lin1_w", f"{pre}.linear1.weight")
+            bn(f"{okey}.bn2", f"{pre}.nonlinear2.batchnorm")
+            conv1d(f"{okey}.local_w", f"{pre}.cam_layer.linear_local.weight")
+            conv1d(f"{okey}.cam1_w", f"{pre}.cam_layer.linear1.weight")
+            vec(f"{okey}.cam1_b", f"{pre}.cam_layer.linear1.bias")
+            conv1d(f"{okey}.cam2_w", f"{pre}.cam_layer.linear2.weight")
+            vec(f"{okey}.cam2_b", f"{pre}.cam_layer.linear2.bias")
+        bn(f"blocks.{b}.transit.bn", f"xvector.transit{b + 1}.nonlinear.batchnorm")
+        conv1d(f"blocks.{b}.transit.w", f"xvector.transit{b + 1}.linear.weight")
+
+    bn("out_bn", "xvector.out_nonlinear.batchnorm")
+    conv1d("dense.w", "xvector.dense.linear.weight")
+    vec("dense.bn_m", "xvector.dense.nonlinear.batchnorm.running_mean")
+    vec("dense.bn_v", "xvector.dense.nonlinear.batchnorm.running_var")
+    mapped.add("xvector.dense.nonlinear.batchnorm.num_batches_tracked")
+
+    unmapped = sorted(set(sd) - mapped)
+    if missing:
+        print(f"[campplus] MISSING upstream tensors ({len(missing)}): "
+              f"{missing[:10]}{'...' if len(missing) > 10 else ''}")
+    if unmapped:
+        print(f"[campplus] {len(unmapped)} unmapped tensors (first 10): "
+              f"{unmapped[:10]}")
+    np.savez(dst, **out)
+    print(f"[campplus] wrote {dst} ({len(out)} tensors, "
+          f"{len(missing)} missing, {len(unmapped)} unmapped)")
+    return missing, unmapped
 
 
 def main() -> int:

@@ -6,7 +6,7 @@ Mirrors the reference's audio layer (`/root/reference/src/audio.rs:4-38`):
 
 Implemented on the stdlib `wave` module + numpy; a C++ fast path for
 decode/convert lives in `native/` and is used automatically when built
-(see `whisper_diarize_tpu.utils.native`).
+(see `whisper_diarize_tpu.native`).
 """
 
 from __future__ import annotations

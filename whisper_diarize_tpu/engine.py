@@ -53,7 +53,6 @@ from .formatting import (
 from .model_manager import ModelManager
 from .ops import decode as dec
 from .ops.mel import N_SAMPLES, SAMPLE_RATE
-from .parallel.batching import iter_batches, plan_windows
 from .types import (
     Callbacks,
     DiarizeOptions,
@@ -70,11 +69,16 @@ UNBOUNDED_SPEAKERS = 2**62  # usize::MAX analogue (`engine.rs:108-111`)
 
 
 class _ResumeJournal:
-    """Append-only JSONL store of per-window Segment results."""
+    """Append-only JSONL store of per-window decode results.
+
+    Each record carries the (possibly None) Segment plus `adv`, the sample
+    stride the window consumed — with seek-based long-form windowing the
+    next window's start depends on the previous decode, so resuming must
+    replay the stride, not just the segment."""
 
     def __init__(self, path: Path):
         self.path = path
-        self._done: Dict[Tuple[int, int, int], Segment] = {}
+        self._done: Dict[Tuple[int, int, int], Tuple[Optional[Segment], int]] = {}
         if path.exists():
             import json as _json
 
@@ -84,30 +88,39 @@ class _ResumeJournal:
                         rec = _json.loads(line)
                     except ValueError:
                         continue
-                    words = rec.get("words")
-                    seg = Segment(
-                        start=rec["start"],
-                        end=rec["end"],
-                        text=rec["text"],
-                        words=[WordTimestamp(**w) for w in words] if words else None,
-                        speaker_id=rec.get("speaker_id"),
-                    )
-                    self._done[(rec["ci"], rec["wi"], rec.get("si", 0))] = seg
+                    if rec.get("skip"):
+                        seg = None
+                    else:
+                        words = rec.get("words")
+                        seg = Segment(
+                            start=rec["start"],
+                            end=rec["end"],
+                            text=rec["text"],
+                            words=[WordTimestamp(**w) for w in words] if words else None,
+                            speaker_id=rec.get("speaker_id"),
+                        )
+                    key = (rec["ci"], rec["wi"], rec.get("si", 0))
+                    self._done[key] = (seg, int(rec.get("adv", 0)))
         self._fh = open(path, "a")
 
     def has(self, ci: int, wi: int, si: int = 0) -> bool:
         return (ci, wi, si) in self._done
 
-    def get(self, ci: int, wi: int, si: int = 0) -> Segment:
+    def get(self, ci: int, wi: int, si: int = 0) -> Tuple[Optional[Segment], int]:
         return self._done[(ci, wi, si)]
 
-    def put(self, ci: int, wi: int, seg: Segment, si: int = 0) -> None:
+    def put(self, ci: int, wi: int, seg: Optional[Segment], si: int = 0,
+            adv: int = 0) -> None:
         import json as _json
 
-        rec = {"ci": ci, "wi": wi, "si": si, **seg.to_dict()}
+        rec = {"ci": ci, "wi": wi, "si": si, "adv": int(adv)}
+        if seg is None:
+            rec["skip"] = True
+        else:
+            rec.update(seg.to_dict())
         self._fh.write(_json.dumps(rec) + "\n")
         self._fh.flush()
-        self._done[(ci, wi, si)] = seg
+        self._done[(ci, wi, si)] = (seg, int(adv))
 
     def close(self) -> None:
         self._fh.close()
@@ -136,6 +149,14 @@ class EngineConfig:
     # state.full in the reference; explicit knobs here)
     temperature_fallback: bool = True  # retry degenerate windows at t>0
     no_speech_threshold: float = 0.6  # with logprob < -1 -> treat as silence
+    # multi-chip inference: (n_data, n_model) device mesh. Batches shard over
+    # the data axis (each chip decodes its own windows), parameters over the
+    # model axis (Megatron TP, `parallel/mesh.py`). None -> single device.
+    mesh_shape: Optional[Tuple[int, int]] = None
+    # whisper.cpp seek semantics for >30 s chunks: the next window starts at
+    # the previous window's last sampled timestamp, so boundaries never land
+    # mid-word (`transcribe.rs:46,389`). False -> hard 30 s cuts.
+    long_form_seek: bool = True
 
 
 class Engine:
@@ -144,7 +165,6 @@ class Engine:
     def __init__(self, cfg: Optional[EngineConfig] = None):
         self.cfg = cfg or EngineConfig()
         self.models = ModelManager(self.cfg.cache_dir)
-        self._step_cache: Dict[Tuple, Any] = {}
 
     # ------------------------------------------------------------------
     def _resolve_dtype(self):
@@ -196,6 +216,17 @@ class Engine:
             max_tokens=self.cfg.max_decode_tokens,
             blank_id=blank_id,
         )
+        mesh = None
+        if self.cfg.mesh_shape is not None:
+            from .parallel.mesh import make_mesh
+
+            n_data, n_model = self.cfg.mesh_shape
+            mesh = make_mesh(n_data=n_data, n_model=n_model)
+            if self.cfg.batch_size % max(n_data, 1):
+                raise ValueError(
+                    f"batch_size {self.cfg.batch_size} must be divisible by "
+                    f"the mesh data axis {n_data}"
+                )
         return TranscribeStep(
             params, cfg, tokenizer,
             model_name=options.model,
@@ -204,6 +235,7 @@ class Engine:
             strategy=strategy,
             # whisper.cpp n_max_text_ctx: caps carried prompt context
             max_text_ctx=(adv.max_text_ctx if adv else None),
+            mesh=mesh,
         )
 
     # ------------------------------------------------------------------
@@ -378,13 +410,9 @@ class Engine:
         streams (BASELINE config 5: 16 parallel audio streams saturating the
         chip). No reference counterpart — the reference loops files through
         one serial engine. Per stream: its own language latch, VAD oracle,
-        speaker clusters, formatter preset. `sequential_prompt` is
-        incompatible with cross-stream batching and is rejected."""
-        if self.cfg.sequential_prompt:
-            raise ValueError(
-                "sequential_prompt carries text across windows of one stream "
-                "and cannot batch across streams; use transcribe_audio"
-            )
+        speaker clusters, formatter preset. `sequential_prompt` batches too:
+        each stream carries its own rolling prompt in its batch row (per-row
+        prompts — `transcribe.rs:384-386` semantics at TPU batch sizes)."""
         return self._transcribe_paths(
             audio_paths, options, formatting_overrides, callbacks
         )
@@ -417,9 +445,7 @@ class Engine:
         same decode batches (BASELINE config 5: 16 parallel audio streams).
         Language latches per stream; diarization speakers cluster per
         stream; overlap clamping and prompt carry are per stream."""
-        import jax.numpy as jnp
-
-        from .parallel.batching import plan_windows_multi
+        from .parallel.batching import WindowScheduler, pack_batch
 
         S = len(per_stream_segments)
         user_offset = options.offset or 0.0
@@ -434,6 +460,7 @@ class Engine:
         # diarization state (embedding net shared; speaker clusters per stream)
         emb_params = None
         emb_managers: List[Optional[Any]] = [None] * S
+        chunk_speakers: Dict[Tuple[int, int], str] = {}  # (stream, chunk) -> id
         if diarize_options is not None:
             from .diarize import EmbeddingManager
             from .models import campplus
@@ -448,16 +475,29 @@ class Engine:
                 EmbeddingManager(diarize_options.max_speakers) for _ in range(S)
             ]
 
-        windows = plan_windows_multi(per_stream_segments)
         seg_lists: List[List[Segment]] = [[] for _ in range(S)]
         previous_texts: List[Optional[str]] = [None] * S
-        prev_tokens: Optional[List[int]] = None
         adv = options.advanced
         init_prompt = adv.init_prompt if adv else None
-        if init_prompt:
-            prev_tokens = step.tk.encode(" " + init_prompt.strip())
+        init_tokens = (
+            step.tk.encode(" " + init_prompt.strip()) if init_prompt else None
+        )
+        if init_tokens is not None and self.cfg.sequential_prompt:
+            previous_texts = [init_prompt] * S
 
-        n_windows = len(windows)
+        # dynamic window plan: seek-based long-form advance; one window per
+        # stream per batch when prompts roll (`parallel/batching.py`)
+        one_per_stream = self.cfg.sequential_prompt
+        sched = WindowScheduler(
+            per_stream_segments,
+            one_per_stream=one_per_stream,
+            seek=self.cfg.long_form_seek,
+        )
+        batch_size = self.cfg.batch_size
+        if one_per_stream:
+            # a one-per-stream scheduler can never fill more rows than streams
+            batch_size = max(1, min(batch_size, S))
+
         done = 0
         # observability counters, logged at the end like the reference
         # (`transcribe.rs:359-360,527-529`)
@@ -470,162 +510,266 @@ class Engine:
         # optional per-window resume journal (TPU extension; the reference
         # restarts cancelled transcriptions from scratch — SURVEY.md §5
         # checkpoint/resume)
-        journal = self._open_resume_journal(options, windows)
+        journal = self._open_resume_journal(options, per_stream_segments)
 
         def tick_progress():
             if cb.progress:
+                total = max(sched.estimated_windows(), 1)
                 cb.progress(
-                    int(done / max(n_windows, 1) * 100),
+                    int(done / total * 100),
                     ProgressType.TRANSCRIBE,
                     "Transcribing audio",
                 )
 
-        batch_size = 1 if self.cfg.sequential_prompt else self.cfg.batch_size
-        for group, audio_batch, n_valid in iter_batches(windows, batch_size):
+        # decoded-but-not-yet-emitted windows: chunks of one stream decode
+        # concurrently, but segments must append (and clamp, and stream
+        # through new_segment_callback) in chronological order
+        results: Dict[Tuple[int, int, int], Optional[Segment]] = {}
+        emit_ptr: List[List[int]] = [[0, 0] for _ in range(S)]  # [chunk slot, window]
+
+        def try_emit(si: int) -> None:
+            nonlocal done
+            row = sched.stream_chunks(si)
+            segments = seg_lists[si]
+            while emit_ptr[si][0] < len(row):
+                cur = row[emit_ptr[si][0]]
+                wpos = emit_ptr[si][1]
+                key = (si, cur.chunk_idx, wpos)
+                if key in results:
+                    segment = results.pop(key)
+                    done += 1
+                    if segment is not None:
+                        # clamp the previous segment of THIS stream against
+                        # overlap (`transcribe.rs:448-459`)
+                        if segments:
+                            last = segments[-1]
+                            if last.end > segment.start:
+                                last.end = segment.start
+                            if last.words:
+                                lw = last.words[-1]
+                                if lw.end > last.end:
+                                    lw.end = last.end
+                        if cb.new_segment_callback:
+                            cb.new_segment_callback(segment)
+                        segments.append(segment)
+                    tick_progress()
+                    emit_ptr[si][1] += 1
+                    continue
+                if cur.done and wpos >= cur.window_idx:
+                    emit_ptr[si] = [emit_ptr[si][0] + 1, 0]
+                    continue
+                break
+
+        def assign_speakers(group) -> None:
+            """One embedding per (stream, chunk), computed on the chunk's
+            full samples at its first window — the reference embeds whole
+            VAD/diarize chunks, not 30 s windows (`transcribe.rs:377,466`)."""
+            from .models import campplus
+
+            fresh_keys: List[Tuple[int, int]] = []
+            fresh_samples = []
+            for w in group:
+                key = (w.stream_idx, w.chunk_idx)
+                if key not in chunk_speakers and key not in fresh_keys:
+                    fresh_keys.append(key)
+                    fresh_samples.append(
+                        np.asarray(
+                            per_stream_segments[w.stream_idx][w.chunk_idx].samples,
+                            np.int16,
+                        )
+                    )
+            if not fresh_samples:
+                return
+            embs = campplus.compute_embeddings_batch(emb_params, fresh_samples)
+            for key, emb in zip(fresh_keys, embs):
+                manager = emb_managers[key[0]]
+                if len(manager.get_all_speakers()) == diarize_options.max_speakers:
+                    sid = manager.get_best_speaker_match(emb)
+                else:
+                    sid = manager.search_speaker(emb, diarize_options.threshold)
+                chunk_speakers[key] = str(sid) if sid is not None else "?"
+
+        while True:
             if cb.is_cancelled and cb.is_cancelled():
                 break
-            if journal is not None and all(
-                journal.has(w.chunk_idx, w.window_idx, w.stream_idx) for w in group
-            ):
-                for w in group:
-                    seg = journal.get(w.chunk_idx, w.window_idx, w.stream_idx)
-                    seg_lists[w.stream_idx].append(seg)
-                    done += 1
-                    if cb.new_segment_callback:
-                        cb.new_segment_callback(seg)
-                    tick_progress()
-                continue
-            t0 = _time.perf_counter()
-            mel = step.mel(audio_batch)
-            stage_s["mel"] += _time.perf_counter() - t0
-            t0 = _time.perf_counter()
-            xa = step.encode(mel)
-            stage_s["encode"] += _time.perf_counter() - t0
+            group = sched.next_batch(batch_size)
+            if not group:
+                break
 
-            # latch language per stream from its first window
-            # (`transcribe.rs:392-395`)
-            if any(
-                detected_langs[w.stream_idx] is None for w in group
-            ):
-                langs = step.detect_language(xa[: len(group)])
-                for j, w in enumerate(group):
-                    if detected_langs[w.stream_idx] is None:
-                        detected_langs[w.stream_idx] = langs[j] if langs else "en"
+            # resume-journal replay: skip decode, re-apply the recorded stride
+            decode_group = []
+            for w in group:
+                if journal is not None and journal.has(
+                    w.chunk_idx, w.window_idx, w.stream_idx
+                ):
+                    seg, adv_step = journal.get(
+                        w.chunk_idx, w.window_idx, w.stream_idx
+                    )
+                    sched.replay(w, adv_step or len(w.samples))
+                    results[(w.stream_idx, w.chunk_idx, w.window_idx)] = seg
+                    if self.cfg.sequential_prompt and seg is not None:
+                        previous_texts[w.stream_idx] = seg.text
+                else:
+                    decode_group.append(w)
 
-            row_langs = [
-                detected_langs[w.stream_idx] or "en" for w in group
-            ] + ["en"] * (audio_batch.shape[0] - len(group))
+            if decode_group:
+                audio_batch, n_valid = pack_batch(decode_group, batch_size)
+                t0 = _time.perf_counter()
+                mel = step.mel(audio_batch)
+                stage_s["mel"] += _time.perf_counter() - t0
+                t0 = _time.perf_counter()
+                xa = step.encode(mel)
+                stage_s["encode"] += _time.perf_counter() - t0
 
-            t0 = _time.perf_counter()
-            decode_fn = (
-                step.decode_with_fallback if self.cfg.temperature_fallback else step.decode
-            )
-            res = decode_fn(
-                xa,
-                row_langs,
-                task,
-                prev_tokens=prev_tokens if self.cfg.sequential_prompt else (
-                    step.tk.encode(" " + init_prompt.strip()) if init_prompt else None
-                ),
-            )
-            chunk_results = step.build_chunk_results(res, xa, n_valid, translated)
-            stage_s["decode"] += _time.perf_counter() - t0
+                # latch language per stream from its first window
+                # (`transcribe.rs:392-395`); always the FULL padded batch so
+                # the jitted detect compiles once, not per partial-batch size
+                if any(
+                    detected_langs[w.stream_idx] is None for w in decode_group
+                ):
+                    langs = step.detect_language(xa)
+                    for j, w in enumerate(decode_group):
+                        if detected_langs[w.stream_idx] is None:
+                            detected_langs[w.stream_idx] = langs[j] if langs else "en"
 
-            # batched speaker embeddings over the group's chunk samples
-            speaker_ids: List[Optional[str]] = [None] * len(group)
-            if diarize_options is not None and group:
-                from .models import campplus
+                row_langs = [
+                    detected_langs[w.stream_idx] or "en" for w in decode_group
+                ] + ["en"] * (batch_size - len(decode_group))
 
                 t0 = _time.perf_counter()
-                embs = campplus.compute_embeddings_batch(
-                    emb_params, [w.samples for w in group]
-                )
-                stage_s["embed"] += _time.perf_counter() - t0
-                for j, w in enumerate(group):
-                    manager = emb_managers[w.stream_idx]
-                    emb = embs[j]
-                    if len(manager.get_all_speakers()) == diarize_options.max_speakers:
-                        sid = manager.get_best_speaker_match(emb)
-                    else:
-                        sid = manager.search_speaker(emb, diarize_options.threshold)
-                    speaker_ids[j] = str(sid) if sid is not None else "?"
-
-            for j, w in enumerate(group):
-                cr = chunk_results[j]
-                si = w.stream_idx
-                segments = seg_lists[si]
-                base_offset = w.start + user_offset
-
-                # no-speech suppression (whisper policy: high P(<|nospeech|>)
-                # AND low avg logprob -> the window is silence)
-                if (
-                    cr.no_speech_prob > self.cfg.no_speech_threshold
-                    and cr.avg_logprob < -1.0
-                ):
-                    done += 1
-                    tick_progress()
-                    continue
-
-                text = cr.text.lstrip()
-                approx_start = base_offset + cr.seg_start
-                approx_end = base_offset + cr.seg_end
-
-                if translated:
-                    from .transcribe import interpolate_word_timestamps
-
-                    word_timestamps = interpolate_word_timestamps(
-                        text, approx_start, approx_end
+                if self.cfg.sequential_prompt:
+                    # PER-ROW rolling prompts: each stream carries its own
+                    # previous text into its window's prompt row
+                    # (`transcribe.rs:384-386` at full batch sizes)
+                    row_prev = [
+                        (
+                            step.tk.encode(" " + previous_texts[w.stream_idx].strip())
+                            if previous_texts[w.stream_idx]
+                            else None
+                        )
+                        for w in decode_group
+                    ] + [None] * (batch_size - len(decode_group))
+                    if all(p is None for p in row_prev):
+                        row_prev = None
+                else:
+                    row_prev = init_tokens
+                if self.cfg.temperature_fallback:
+                    res, row_temps = step.decode_with_fallback(
+                        xa, row_langs, task, prev_tokens=row_prev,
+                        n_valid_rows=len(decode_group),
+                        is_cancelled=cb.is_cancelled,
                     )
                 else:
-                    word_timestamps = [
-                        WordTimestamp(
-                            text=wt.text,
-                            start=wt.start + base_offset,
-                            end=wt.end + base_offset,
-                            probability=wt.probability,
-                        )
-                        for wt in cr.words
-                    ]
-
-                seg_start = word_timestamps[0].start if word_timestamps else approx_start
-                seg_end = word_timestamps[-1].end if word_timestamps else approx_end
-
-                # clamp the previous segment of THIS stream against overlap
-                # (`transcribe.rs:448-459`)
-                if segments:
-                    last = segments[-1]
-                    if last.end > seg_start:
-                        last.end = seg_start
-                    if last.words:
-                        lw = last.words[-1]
-                        if lw.end > last.end:
-                            lw.end = last.end
-
-                if not text.strip():
-                    empty_segments += 1
-                    logger.warning(
-                        "empty segment in [%.2f-%.2f]", approx_start, approx_end
+                    res = step.decode(
+                        xa, row_langs, task, prev_tokens=row_prev,
+                        is_cancelled=cb.is_cancelled,
                     )
-                total_chars += len(text)
-
-                previous_texts[si] = text if text.strip() else previous_texts[si]
-                if self.cfg.sequential_prompt and previous_texts[si]:
-                    prev_tokens = step.tk.encode(" " + previous_texts[si].strip())
-
-                segment = Segment(
-                    start=seg_start,
-                    end=seg_end,
-                    text=text,
-                    words=word_timestamps or None,
-                    speaker_id=speaker_ids[j],
+                    row_temps = np.zeros((batch_size,), np.float32)
+                # a cancel that landed MID-decode aborts before emitting (the
+                # reference's whisper.cpp abort drops the in-flight segment)
+                if cb.is_cancelled and cb.is_cancelled():
+                    break
+                chunk_results = step.build_chunk_results(
+                    res, xa, n_valid, translated
                 )
-                if cb.new_segment_callback:
-                    cb.new_segment_callback(segment)
-                done += 1
-                tick_progress()
-                segments.append(segment)
-                if journal is not None:
-                    journal.put(w.chunk_idx, w.window_idx, segment, si)
+                stage_s["decode"] += _time.perf_counter() - t0
+
+                if diarize_options is not None:
+                    t0 = _time.perf_counter()
+                    assign_speakers(decode_group)
+                    stage_s["embed"] += _time.perf_counter() - t0
+
+                for j, w in enumerate(decode_group):
+                    cr = chunk_results[j]
+                    si = w.stream_idx
+                    base_offset = w.start + user_offset
+
+                    # whisper.cpp seek: a full window advances to its last
+                    # sampled timestamp so the next window starts on a
+                    # boundary the model chose (`transcribe.rs:46,389`)
+                    seek_samples = (
+                        int(cr.end_ts * SAMPLE_RATE)
+                        if cr.end_ts is not None
+                        else None
+                    )
+                    adv_step = sched.advance(w, seek_samples)
+
+                    key = (si, w.chunk_idx, w.window_idx)
+
+                    # no-speech suppression (whisper policy: high
+                    # P(<|nospeech|>) AND low avg logprob -> silence)
+                    if (
+                        cr.no_speech_prob > self.cfg.no_speech_threshold
+                        and cr.avg_logprob < -1.0
+                    ):
+                        results[key] = None
+                        if journal is not None:
+                            journal.put(w.chunk_idx, w.window_idx, None, si,
+                                        adv=adv_step)
+                        continue
+
+                    text = cr.text.lstrip()
+                    approx_start = base_offset + cr.seg_start
+                    approx_end = base_offset + cr.seg_end
+
+                    if translated:
+                        from .transcribe import interpolate_word_timestamps
+
+                        word_timestamps = interpolate_word_timestamps(
+                            text, approx_start, approx_end
+                        )
+                    else:
+                        word_timestamps = [
+                            WordTimestamp(
+                                text=wt.text,
+                                start=wt.start + base_offset,
+                                end=wt.end + base_offset,
+                                probability=wt.probability,
+                            )
+                            for wt in cr.words
+                        ]
+
+                    seg_start = (
+                        word_timestamps[0].start if word_timestamps else approx_start
+                    )
+                    seg_end = (
+                        word_timestamps[-1].end if word_timestamps else approx_end
+                    )
+
+                    if not text.strip():
+                        empty_segments += 1
+                        logger.warning(
+                            "empty segment in [%.2f-%.2f]", approx_start, approx_end
+                        )
+                    total_chars += len(text)
+
+                    # prompt-carry policy: an empty window resets the carried
+                    # text (the reference decodes the next chunk without a
+                    # prompt, `transcribe.rs:502`); openai-whisper also resets
+                    # after a fallback retry at temperature > 0.5
+                    if not text.strip() or float(row_temps[j]) > 0.5:
+                        previous_texts[si] = None
+                    else:
+                        previous_texts[si] = text
+
+                    segment = Segment(
+                        start=seg_start,
+                        end=seg_end,
+                        text=text,
+                        words=word_timestamps or None,
+                        speaker_id=(
+                            chunk_speakers.get((si, w.chunk_idx))
+                            if diarize_options is not None
+                            else None
+                        ),
+                    )
+                    results[key] = segment
+                    if journal is not None:
+                        journal.put(w.chunk_idx, w.window_idx, segment, si,
+                                    adv=adv_step)
+
+            for si in range(S):
+                try_emit(si)
 
         if journal is not None:
             journal.close()
@@ -636,17 +780,20 @@ class Engine:
         logger.info(
             "stage seconds: mel=%.3f encode=%.3f decode=%.3f embed=%.3f (%d windows, %d streams)",
             stage_s["mel"], stage_s["encode"], stage_s["decode"],
-            stage_s["embed"], n_windows, S,
+            stage_s["embed"], done, S,
         )
         return seg_lists, detected_langs
 
     # ------------------------------------------------------------------
-    def _open_resume_journal(self, options: TranscribeOptions, windows):
+    def _open_resume_journal(self, options: TranscribeOptions,
+                             per_stream_segments):
         """Per-window resume journal keyed by the option fingerprint.
 
         The reference restarts cancelled transcriptions from scratch
         (SURVEY.md §5: no checkpoint/resume); long-form batch jobs here can
-        resume per window when `EngineConfig.resume_dir` is set."""
+        resume per window when `EngineConfig.resume_dir` is set. The
+        fingerprint covers the CHUNK plan (window boundaries are dynamic
+        under seek; the journal's recorded strides replay them)."""
         if not self.cfg.resume_dir:
             return None
         import hashlib
@@ -657,11 +804,14 @@ class Engine:
             _json.dumps(
                 {
                     "options": asdict(options),
-                    "windows": [
-                        (w.stream_idx, w.chunk_idx, w.window_idx, w.start, len(w.samples))
-                        for w in windows
+                    "chunks": [
+                        (si, ci, seg.start, len(seg.samples))
+                        for si, segs in enumerate(per_stream_segments)
+                        for ci, seg in enumerate(segs)
                     ],
                     "dtw": bool(self.cfg.enable_dtw),
+                    "seek": bool(self.cfg.long_form_seek),
+                    "seq": bool(self.cfg.sequential_prompt),
                 },
                 sort_keys=True, default=str,
             ).encode()

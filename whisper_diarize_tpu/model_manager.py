@@ -57,6 +57,9 @@ WHISPER_REQUIRED = ["config.json", "model.safetensors"]
 DEFAULT_REVISION = "main"
 MIN_VALID_BYTES = 100 * 1024  # `model_manager.rs` validation floor
 MIN_REPAIR_BLOB_BYTES = 1024 * 1024
+# symlink repair only adopts blobs for weight-shaped filenames; small
+# sidecar files (config.json/vocab.json/merges.txt) must re-download
+REPAIRABLE_SUFFIXES = (".safetensors", ".bin", ".onnx", ".npz", ".pt", ".ggml")
 
 # Diarization model URLs the engine passes in (`engine.rs:90-91`)
 SEGMENTATION_URL = (
@@ -213,12 +216,22 @@ class ModelManager:
                 snap.unlink()  # dangling symlink
             else:
                 return snap
-        # repair: adopt a large orphaned blob
+        # repair: adopt a large ORPHANED blob — but only for weight-like
+        # filenames. The reference's repos hold one file each
+        # (`model_manager.rs:683-734`), so any big blob was the model; HF
+        # whisper snapshots hold several files (config.json/vocab.json/...),
+        # and adopting the 2 GB safetensors blob for config.json would pass
+        # validation and crash the JSON parse later (ADVICE r1, medium).
+        if not any(filename.endswith(s) for s in REPAIRABLE_SUFFIXES):
+            return None
         blobs = self.blobs_dir(repo_id)
         if blobs.is_dir():
+            referenced = self._referenced_blobs(repo_id)
             candidates = [
                 b for b in blobs.iterdir()
-                if b.is_file() and b.stat().st_size >= MIN_REPAIR_BLOB_BYTES
+                if b.is_file()
+                and b.stat().st_size >= MIN_REPAIR_BLOB_BYTES
+                and b.resolve() not in referenced
             ]
             if candidates:
                 blob = max(candidates, key=lambda b: b.stat().st_size)
@@ -227,6 +240,22 @@ class ModelManager:
                 snap.symlink_to(rel)
                 return snap
         return None
+
+    def _referenced_blobs(self, repo_id: str) -> set:
+        """Resolved blob paths referenced by ANY snapshot symlink of a repo."""
+        out = set()
+        repo_dir = self.snapshot_dir(repo_id).parent  # snapshots/
+        if repo_dir.is_dir():
+            for rev in repo_dir.iterdir():
+                if not rev.is_dir():
+                    continue
+                for f in rev.rglob("*"):
+                    if f.is_symlink():
+                        try:
+                            out.add(f.resolve())
+                        except OSError:
+                            pass
+        return out
 
     def _store_blob(self, repo_id: str, filename: str, tmp: Path,
                     revision: str = DEFAULT_REVISION) -> Path:

@@ -1,31 +1,47 @@
-"""CAM++ speaker-embedding network in JAX.
+"""CAM++ speaker-embedding network in JAX — the real wespeaker topology.
 
 Replaces the ONNX `wespeaker_en_voxceleb_CAM++.onnx` model the reference
 runs through pyannote-rs/ONNX Runtime (`EmbeddingExtractor::compute`,
 `/root/reference/src/transcribe.rs:343,466`; model URL `engine.rs:91`).
 
-Architecture follows the public CAM++ design (D-TDNN with context-aware
-masking):
+Architecture matches the public CAM++ implementation (modelscope
+3D-Speaker `speakerlab/models/campplus/DTDNN.py`, vendored unchanged by
+wespeaker, which is what the upstream ONNX was exported from):
 
-  80-dim kaldi fbank (mean-normalized over time; `ops/mel.py::kaldi_fbank`
+  80-dim kaldi fbank, per-utterance mean-normalized (`ops/mel.py::kaldi_fbank`
   replaces kaldi-native-fbank, SURVEY.md §2.4)
-  → FCM: 2D conv stack over (time, freq) compressing the freq axis
-  → 3 D-TDNN blocks (dense dilated conv1d layers with a CAM attention mask:
-    sigmoid(MLP(global pooling + local segment pooling)) gating the features)
-    with transition convs between blocks
-  → global statistics pooling (mean ‖ std)
-  → linear → 192-dim embedding.
+  -> FCM head: Conv2d(1->32, 3x3) + BN + ReLU, two residual stages of two
+     BasicResBlocks each (stride 2 on the freq axis), Conv2d stride (2,1)
+     + BN + ReLU; freq 80 -> 10, reshape to 320 channels over time
+  -> TDNN stem: Conv1d(320->128, k5, stride 2) + BN + ReLU
+  -> 3 CAM-Dense-TDNN blocks of (12, 24, 16) layers, kernel 3, dilations
+     (1, 2, 2), growth 32, bottleneck 128. Each layer:
+       BN+ReLU -> 1x1 conv (in->128, no bias) -> BN+ReLU -> CAM layer:
+       local = Conv1d(128->32, k3, dilated);
+       context = mean_t(x) + seg_avg_pool_100(x);
+       gate = sigmoid(W2 relu(W1 context)); out = local * gate
+     outputs concatenate densely; after each block a transit layer
+     (BN+ReLU + 1x1 conv, no bias) halves channels: 512->256, 1024->512,
+     1024->512
+  -> BN+ReLU -> statistics pooling (mean ‖ std over time) -> 1024
+  -> dense: 1x1 conv (no bias) + BatchNorm(affine=False) -> 192-dim embedding
+     (wespeaker voxceleb config; modelscope ships 512).
 
-Numeric parity with wespeaker requires converted weights (`load_params`);
-random init validates shapes and exercises the full pipeline offline.
-All convs map to MXU matmuls; a batch of variable-length segments is run
-padded with a frame mask.
+All BatchNorms run in eval mode (eps 1e-5) with explicit
+gamma/beta/mean/var parameters so converted upstream weights load 1:1
+(`tools/convert_models.py::convert_campplus` maps every tensor).
+
+TPU notes: convs are NWC/NHWC lax convs (MXU matmuls); a batch of
+variable-length segments runs padded with a frame mask — the mask gates the
+CAM global context, the segment pooling and the final stats pool. Conv
+receptive fields near the pad boundary see zeros (the upstream runs each
+segment alone); the effect is limited to the last ~30 frames of a segment
+and does not move cosine similarities materially.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,73 +50,108 @@ import numpy as np
 from ..ops.mel import kaldi_fbank
 
 N_MELS = 80
-EMB_DIM = 192
-FCM_CHANNELS = 32
-INIT_CHANNELS = 128
+EMB_DIM = 192  # wespeaker voxceleb CAM++ embedding size
+M_CHANNELS = 32  # FCM channel width
+INIT_CHANNELS = 128  # TDNN stem output channels
 GROWTH = 32  # dense-layer growth rate
-BLOCK_LAYERS = (4, 6, 8)  # layers per D-TDNN block (compact config)
-DILATIONS = (1, 2, 3)
-SEG_POOL = 100  # frames per CAM local-context segment
+BN_CHANNELS = 128  # bottleneck width (bn_size 4 * growth 32)
+BLOCK_LAYERS = (12, 24, 16)  # layers per CAM-Dense-TDNN block
+DILATIONS = (1, 2, 2)
+SEG_POOL = 100  # frames per CAM segment pooling window
+BN_EPS = 1e-5
 
 
-def _conv2d(rng, cin, cout, k):
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+def _bn(rng, c):
     return {
-        "w": (rng.standard_normal((k, k, cin, cout)) * (k * k * cin) ** -0.5).astype(np.float32),
-        "b": np.zeros((cout,), np.float32),
+        "g": np.ones((c,), np.float32),
+        "b": np.zeros((c,), np.float32),
+        "m": np.zeros((c,), np.float32),
+        "v": np.ones((c,), np.float32),
     }
 
 
-def _conv1d(rng, cin, cout, k):
-    return {
-        "w": (rng.standard_normal((k, cin, cout)) * (k * cin) ** -0.5).astype(np.float32),
-        "b": np.zeros((cout,), np.float32),
+def _conv2d_w(rng, cin, cout, k):
+    return (rng.standard_normal((k, k, cin, cout)) * (k * k * cin) ** -0.5).astype(np.float32)
+
+
+def _conv1d_w(rng, cin, cout, k):
+    return (rng.standard_normal((k, cin, cout)) * (k * cin) ** -0.5).astype(np.float32)
+
+
+def _res_block(rng, cin, cout, stride):
+    blk = {
+        "conv1_w": _conv2d_w(rng, cin, cout, 3),
+        "bn1": _bn(rng, cout),
+        "conv2_w": _conv2d_w(rng, cout, cout, 3),
+        "bn2": _bn(rng, cout),
     }
+    if stride != 1 or cin != cout:
+        blk["sc_w"] = (rng.standard_normal((1, 1, cin, cout)) * cin ** -0.5).astype(np.float32)
+        blk["sc_bn"] = _bn(rng, cout)
+    return blk
 
 
-def _lin(rng, n_in, n_out):
-    return {
-        "w": (rng.standard_normal((n_in, n_out)) * n_in ** -0.5).astype(np.float32),
-        "b": np.zeros((n_out,), np.float32),
-    }
-
-
-def init_params(seed: int = 0) -> Dict[str, Any]:
+def init_params(seed: int = 0, embed_dim: int = EMB_DIM) -> Dict[str, Any]:
     rng = np.random.default_rng(seed)
-    params: Dict[str, Any] = {
-        "fcm1": _conv2d(rng, 1, FCM_CHANNELS, 3),
-        "fcm2": _conv2d(rng, FCM_CHANNELS, FCM_CHANNELS, 3),
+    fcm = {
+        "conv1_w": _conv2d_w(rng, 1, M_CHANNELS, 3),
+        "bn1": _bn(rng, M_CHANNELS),
+        "layer1": [
+            _res_block(rng, M_CHANNELS, M_CHANNELS, 2),
+            _res_block(rng, M_CHANNELS, M_CHANNELS, 1),
+        ],
+        "layer2": [
+            _res_block(rng, M_CHANNELS, M_CHANNELS, 2),
+            _res_block(rng, M_CHANNELS, M_CHANNELS, 1),
+        ],
+        "conv2_w": _conv2d_w(rng, M_CHANNELS, M_CHANNELS, 3),
+        "bn2": _bn(rng, M_CHANNELS),
     }
-    fcm_out = FCM_CHANNELS * (N_MELS // 4)
-    params["stem"] = _conv1d(rng, fcm_out, INIT_CHANNELS, 5)
-
+    fcm_out = M_CHANNELS * (N_MELS // 8)  # 320
+    params: Dict[str, Any] = {
+        "fcm": fcm,
+        "tdnn": {"w": _conv1d_w(rng, fcm_out, INIT_CHANNELS, 5),
+                 "bn": _bn(rng, INIT_CHANNELS)},
+    }
     ch = INIT_CHANNELS
     blocks = []
-    for bi, (n_layers, dil) in enumerate(zip(BLOCK_LAYERS, DILATIONS)):
+    for n_layers in BLOCK_LAYERS:
         layers = []
-        for li in range(n_layers):
-            layers.append(
-                {
-                    "bottleneck": _conv1d(rng, ch, GROWTH * 2, 1),
-                    "conv": _conv1d(rng, GROWTH * 2, GROWTH, 3),
-                    # CAM: global + segment context -> sigmoid gate
-                    "cam_g": _lin(rng, ch, GROWTH),
-                    "cam_s": _lin(rng, ch, GROWTH),
-                }
-            )
+        for _ in range(n_layers):
+            layers.append({
+                "bn1": _bn(rng, ch),
+                "lin1_w": _conv1d_w(rng, ch, BN_CHANNELS, 1),
+                "bn2": _bn(rng, BN_CHANNELS),
+                "local_w": _conv1d_w(rng, BN_CHANNELS, GROWTH, 3),
+                "cam1_w": _conv1d_w(rng, BN_CHANNELS, BN_CHANNELS // 2, 1),
+                "cam1_b": np.zeros((BN_CHANNELS // 2,), np.float32),
+                "cam2_w": _conv1d_w(rng, BN_CHANNELS // 2, GROWTH, 1),
+                "cam2_b": np.zeros((GROWTH,), np.float32),
+            })
             ch += GROWTH
-        transition = _conv1d(rng, ch, ch // 2, 1)
-        ch = ch // 2
-        # dilation stays static (module constant DILATIONS), not in the pytree
-        blocks.append({"layers": layers, "transition": transition})
+        transit = {"bn": _bn(rng, ch), "w": _conv1d_w(rng, ch, ch // 2, 1)}
+        ch //= 2
+        blocks.append({"layers": layers, "transit": transit})
     params["blocks"] = blocks
-    params["proj"] = _lin(rng, ch * 2, EMB_DIM)  # mean||std stats pooling
+    params["out_bn"] = _bn(rng, ch)
+    params["dense"] = {
+        "w": _conv1d_w(rng, ch * 2, embed_dim, 1),
+        # BatchNorm1d(affine=False): running stats only
+        "bn_m": np.zeros((embed_dim,), np.float32),
+        "bn_v": np.ones((embed_dim,), np.float32),
+    }
     return jax.tree.map(
         lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a, params
     )
 
 
 def load_params(path: str) -> Dict[str, Any]:
-    """Load converted wespeaker CAM++ weights (flat .npz with dotted keys)."""
+    """Load converted wespeaker CAM++ weights (flat .npz with dotted keys,
+    written by `tools/convert_models.py::convert_campplus`)."""
     z = np.load(path, allow_pickle=True)
     out: Dict[str, Any] = {}
     for k in z.files:
@@ -120,14 +171,66 @@ def load_params(path: str) -> Dict[str, Any]:
     return listify(out)
 
 
-def _cam_gate(layer, x, mask):
-    """Context-aware mask: sigmoid(global-context MLP + segment-context MLP).
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
 
-    x [B, T, C]; mask [B, T, 1] — returns gate [B, T, GROWTH].
-    """
-    denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
-    g = (x * mask).sum(axis=1, keepdims=True) / denom  # [B, 1, C]
-    # segment pooling: average within fixed SEG_POOL-frame blocks
+def _apply_bn(bn, x):
+    """Eval-mode BatchNorm over the channel (last) axis."""
+    inv = jax.lax.rsqrt(bn["v"] + BN_EPS)
+    return (x - bn["m"]) * inv * bn["g"] + bn["b"]
+
+
+def _conv2d(x, w, strides):
+    """x [B, F, T, C], w [kh, kw, in, out]; stride applies to (F, T)."""
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=strides, padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _conv1d(x, w, stride=1, dilation=1):
+    k = w.shape[0]
+    pad = (k - 1) * dilation // 2
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=((pad, pad),),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+
+
+def _res_block_apply(blk, x, stride):
+    out = jax.nn.relu(_apply_bn(blk["bn1"], _conv2d(x, blk["conv1_w"], (stride, 1))))
+    out = _apply_bn(blk["bn2"], _conv2d(out, blk["conv2_w"], (1, 1)))
+    if "sc_w" in blk:
+        sc = jax.lax.conv_general_dilated(
+            x, blk["sc_w"], window_strides=(stride, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        sc = _apply_bn(blk["sc_bn"], sc)
+    else:
+        sc = x
+    return jax.nn.relu(out + sc)
+
+
+def _fcm(params, feats):
+    """feats [B, T, 80] -> [B, ceil stays T, 320] (freq 80 -> 10, x32 ch)."""
+    x = jnp.transpose(feats, (0, 2, 1))[..., None]  # [B, F, T, 1]
+    x = jax.nn.relu(_apply_bn(params["bn1"], _conv2d(x, params["conv1_w"], (1, 1))))
+    for i, blk in enumerate(params["layer1"]):
+        x = _res_block_apply(blk, x, 2 if i == 0 else 1)
+    for i, blk in enumerate(params["layer2"]):
+        x = _res_block_apply(blk, x, 2 if i == 0 else 1)
+    x = jax.nn.relu(_apply_bn(params["bn2"], _conv2d(x, params["conv2_w"], (2, 1))))
+    B, F, T, C = x.shape
+    # torch reshapes (B, C, F', T) -> (B, C*F', T); channel-major ordering
+    x = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, C * F, T)
+    return jnp.transpose(x, (0, 2, 1))  # [B, T, C*F]
+
+
+def _seg_pool(x, mask):
+    """Masked segment average pooling (torch avg_pool1d k=100 s=100 ceil),
+    broadcast back over time. x [B, T, C]; mask [B, T, 1]."""
     B, T, C = x.shape
     n_seg = -(-T // SEG_POOL)
     pad = n_seg * SEG_POOL - T
@@ -135,65 +238,64 @@ def _cam_gate(layer, x, mask):
     mp = jnp.pad(mask, ((0, 0), (0, pad), (0, 0)))
     seg = xp.reshape(B, n_seg, SEG_POOL, C).sum(2) / jnp.maximum(
         mp.reshape(B, n_seg, SEG_POOL, 1).sum(2), 1.0
-    )  # [B, n_seg, C]
-    seg = jnp.repeat(seg, SEG_POOL, axis=1)[:, :T]  # [B, T, C]
-    gate = jax.nn.sigmoid(
-        (g @ layer["cam_g"]["w"] + layer["cam_g"]["b"])
-        + (seg @ layer["cam_s"]["w"] + layer["cam_s"]["b"])
     )
-    return gate
+    return jnp.repeat(seg, SEG_POOL, axis=1)[:, :T]
 
 
-def _conv1d_apply(p, x, dilation=1):
-    k = p["w"].shape[0]
-    pad = (k - 1) * dilation // 2
-    return jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(1,), padding=((pad, pad),),
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    ) + p["b"]
+def _cam_layer(layer, x, mask, dilation):
+    """CAM: local conv gated by sigmoid(MLP(global + segment context)).
+
+    x [B, T, 128] (bottleneck features), mask [B, T, 1]."""
+    local = _conv1d(x, layer["local_w"], dilation=dilation)  # [B, T, 32]
+    denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+    g = (x * mask).sum(axis=1, keepdims=True) / denom  # [B, 1, 128]
+    context = g + _seg_pool(x, mask)  # [B, T, 128]
+    h = jax.nn.relu(context @ layer["cam1_w"][0] + layer["cam1_b"])
+    gate = jax.nn.sigmoid(h @ layer["cam2_w"][0] + layer["cam2_b"])
+    return local * gate
 
 
 @jax.jit
 def embed_from_fbank(params: Dict[str, Any], feats: jnp.ndarray,
                      mask: jnp.ndarray) -> jnp.ndarray:
     """feats [B, T, 80] mean-normalized fbank; mask [B, T] (1 = valid frame)
-    -> embeddings [B, 192]."""
-    B, T, _ = feats.shape
-    m = mask[:, :, None].astype(feats.dtype)
+    -> embeddings [B, EMB_DIM]."""
+    x = _fcm(params["fcm"], feats)  # [B, T, 320]
 
-    # FCM: 2D convs over (time, freq), stride 2 on freq
-    x = feats[:, :, :, None]  # [B, T, F, 1]
-    for name in ("fcm1", "fcm2"):
-        x = jax.lax.conv_general_dilated(
-            x, params[name]["w"], window_strides=(1, 2), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + params[name]["b"]
-        x = jax.nn.relu(x)
-    x = x.reshape(B, T, -1)  # [B, T, 32 * F/4]
-
-    x = jax.nn.relu(_conv1d_apply(params["stem"], x))
+    # TDNN stem: k5 stride 2
+    x = jax.nn.relu(_apply_bn(params["tdnn"]["bn"],
+                              _conv1d(x, params["tdnn"]["w"], stride=2)))
+    m = mask[:, ::2][:, : x.shape[1], None].astype(x.dtype)
 
     for block, dil in zip(params["blocks"], DILATIONS):
         for layer in block["layers"]:
-            h = jax.nn.relu(_conv1d_apply(layer["bottleneck"], x))
-            h = jax.nn.relu(_conv1d_apply(layer["conv"], h, dilation=dil))
-            h = h * _cam_gate(layer, x, m)
+            h = jax.nn.relu(_apply_bn(layer["bn1"], x))
+            h = _conv1d(h, layer["lin1_w"])  # 1x1 bottleneck
+            h = jax.nn.relu(_apply_bn(layer["bn2"], h))
+            h = _cam_layer(layer, h, m, dil)
             x = jnp.concatenate([x, h], axis=-1)  # dense connectivity
-        x = _conv1d_apply(block["transition"], x)
-        x = jax.nn.relu(x)
+        t = block["transit"]
+        x = _conv1d(jax.nn.relu(_apply_bn(t["bn"], x)), t["w"])
 
-    # masked statistics pooling
+    x = jax.nn.relu(_apply_bn(params["out_bn"], x))
+
+    # masked statistics pooling (mean ‖ std); std is UNBIASED (n-1) like the
+    # upstream StatsPool (torch.std default)
     denom = jnp.maximum(m.sum(axis=1), 1.0)
     mean = (x * m).sum(axis=1) / denom
-    var = (jnp.square(x - mean[:, None, :]) * m).sum(axis=1) / denom
-    std = jnp.sqrt(var + 1e-7)
-    stats = jnp.concatenate([mean, std], axis=-1)
-    return stats @ params["proj"]["w"] + params["proj"]["b"]
+    var = (jnp.square((x - mean[:, None, :]) * m)).sum(axis=1) / jnp.maximum(
+        denom - 1.0, 1.0
+    )
+    std = jnp.sqrt(jnp.maximum(var, 1e-10))
+    stats = jnp.concatenate([mean, std], axis=-1)  # [B, 1024]
+
+    d = params["dense"]
+    emb = stats @ d["w"][0]
+    return (emb - d["bn_m"]) * jax.lax.rsqrt(d["bn_v"] + BN_EPS)
 
 
 def compute_embedding(params: Dict[str, Any], int_samples: np.ndarray) -> np.ndarray:
-    """i16 samples (one segment) -> [192] embedding.
+    """i16 samples (one segment) -> [EMB_DIM] embedding.
 
     Front-end parity with knf-rs: kaldi fbank on int16-scale floats, then
     per-utterance mean subtraction (wespeaker convention).

@@ -1,17 +1,29 @@
-"""Silero-VAD-style voice activity detection network in JAX.
+"""Silero-VAD v5 voice activity detection network in JAX.
 
 Replaces the whisper.cpp Silero v5.1.2 runner the reference drives through
 FFI (`/root/reference/src/vad.rs:15-31`, model `ggml-silero-v5.1.2.bin` from
-`model_manager.rs:303-319`). Architecture follows the public Silero v5
-design: per 512-sample (32 ms at 16 kHz) chunk with 64 samples of left
-context — magnitude STFT (256-point, hop 128) → 4-block Conv1d encoder →
-LSTM cell → linear head → sigmoid speech probability.
+`model_manager.rs:303-319`).
+
+Op graph matches the upstream v5 checkpoint (the same tensors whisper.cpp's
+GGML converter maps — `_model.stft.forward_basis_buffer`,
+`_model.encoder.{0..3}.reparam_conv`, `_model.decoder.rnn`,
+`_model.decoder.decoder.2`), per 512-sample (32 ms at 16 kHz) chunk with 64
+samples of carried left context:
+
+  [context(64) ‖ chunk(512)] -> reflect-pad 64 on the left (640 samples)
+  -> STFT basis conv (256-tap filters from the checkpoint, hop 128):
+     4 frames x 258 channels; rows 0..128 real, 129..257 imag -> magnitude
+  -> encoder: 4x (Conv1d k3 pad 1 + ReLU) with strides (1, 2, 2, 1) and
+     channels 129 -> 128 -> 64 -> 64 -> 128; time 4 -> 4 -> 2 -> 1 -> 1
+  -> LSTM cell (128 -> 128), state carried across chunks
+  -> head: ReLU -> Conv1d(128 -> 1, k1) -> sigmoid speech probability.
 
 TPU-first: the whole file is processed in ONE `lax.scan` over chunks
-carrying (h, c, context); each scan step is a small batch of MXU matmuls,
-and a batch axis [B, T] runs multiple streams at once. Weights load from an
-.npz/.safetensors file via `load_params`; random init (for tests and
-architecture validation) via `init_params`.
+carrying (h, c); each scan step is a small batch of MXU matmuls, and a batch
+axis [B, T] runs multiple streams at once. Weights load from a converted
+.npz via `load_params` (`tools/convert_models.py::convert_silero` maps every
+upstream tensor); random init (for tests and architecture validation) via
+`init_params`.
 """
 
 from __future__ import annotations
@@ -25,25 +37,29 @@ import numpy as np
 
 SAMPLE_RATE = 16_000
 CHUNK = 512  # samples per VAD frame (32 ms)
-CONTEXT = 64  # left context samples
+CONTEXT = 64  # left context samples carried from the previous chunk
 N_FFT = 256
 HOP = 128
 N_BINS = N_FFT // 2 + 1  # 129
+STFT_PAD = 64  # reflect pad applied left of [context ‖ chunk]
+N_FRAMES = (CONTEXT + CHUNK + STFT_PAD - N_FFT) // HOP + 1  # 4
 HIDDEN = 128
 _ENC_CHANNELS = [(N_BINS, 128), (128, 64), (64, 64), (64, 128)]
+_ENC_STRIDES = (1, 2, 2, 1)
 _KERNEL = 3
 
 
 @functools.lru_cache(maxsize=1)
-def _stft_bases() -> Tuple[np.ndarray, np.ndarray]:
+def _default_stft_basis() -> np.ndarray:
+    """Hann-windowed DFT basis [N_FFT, 2*N_BINS] (random-init stand-in for
+    the checkpoint's forward_basis_buffer)."""
     n = np.arange(N_FFT)[:, None]
     k = np.arange(N_BINS)[None, :]
     ang = -2.0 * np.pi * n * k / N_FFT
-    win = np.hanning(N_FFT)
-    return (
-        (np.cos(ang) * win[:, None]).astype(np.float32),
-        (np.sin(ang) * win[:, None]).astype(np.float32),
-    )
+    win = np.hanning(N_FFT)[:, None]
+    return np.concatenate(
+        [np.cos(ang) * win, np.sin(ang) * win], axis=1
+    ).astype(np.float32)
 
 
 def init_params(seed: int = 0) -> Dict[str, Any]:
@@ -56,9 +72,10 @@ def init_params(seed: int = 0) -> Dict[str, Any]:
         }
 
     params = {
+        "stft": _default_stft_basis(),  # [256, 258]
         "enc": [conv(cin, cout, _KERNEL) for cin, cout in _ENC_CHANNELS],
         "lstm": {
-            # fused gates [input+hidden, 4*hidden] (i, f, g, o)
+            # fused gates [input+hidden, 4*hidden] (torch order: i, f, g, o)
             "w": (rng.standard_normal((HIDDEN + HIDDEN, 4 * HIDDEN)) * HIDDEN ** -0.5).astype(np.float32),
             "b": np.zeros((4 * HIDDEN,), np.float32),
         },
@@ -71,10 +88,13 @@ def init_params(seed: int = 0) -> Dict[str, Any]:
 
 
 def load_params(path: str) -> Dict[str, Any]:
-    """Load converted Silero weights from an .npz with keys
+    """Load converted Silero weights from an .npz with keys stft_basis,
     enc{i}_w/enc{i}_b, lstm_w/lstm_b, head_w/head_b."""
     z = np.load(path)
     params = {
+        "stft": (
+            z["stft_basis"] if "stft_basis" in z.files else _default_stft_basis()
+        ),
         "enc": [
             {"w": z[f"enc{i}_w"], "b": z[f"enc{i}_b"]} for i in range(len(_ENC_CHANNELS))
         ],
@@ -84,27 +104,33 @@ def load_params(path: str) -> Dict[str, Any]:
     return jax.tree.map(jnp.asarray, params)
 
 
-def _chunk_features(chunk_with_ctx: jnp.ndarray) -> jnp.ndarray:
-    """[B, CONTEXT+CHUNK] -> [B, frames, N_BINS] magnitude STFT."""
-    C, S = _stft_bases()
-    n_frames = (CONTEXT + CHUNK - N_FFT) // HOP + 1  # 3
-    idx = jnp.arange(n_frames)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
-    frames = chunk_with_ctx[:, idx]  # [B, F, N_FFT]
-    re = frames @ jnp.asarray(C)
-    im = frames @ jnp.asarray(S)
+def _chunk_features(basis: jnp.ndarray, chunk_with_ctx: jnp.ndarray) -> jnp.ndarray:
+    """[B, CONTEXT+CHUNK] -> [B, N_FRAMES, N_BINS] magnitude STFT.
+
+    Reflect-pads 64 samples on the left (the upstream STFT module), frames
+    with hop 128 and applies the checkpoint's basis conv; rows split into
+    real/imag halves -> magnitude.
+    """
+    x = jnp.pad(chunk_with_ctx, ((0, 0), (STFT_PAD, 0)), mode="reflect")
+    idx = jnp.arange(N_FRAMES)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
+    frames = x[:, idx]  # [B, F, N_FFT]
+    spec = frames @ basis  # [B, F, 258]
+    re = spec[..., :N_BINS]
+    im = spec[..., N_BINS:]
     return jnp.sqrt(re * re + im * im + 1e-12)
 
 
 def _encoder(params, feats: jnp.ndarray) -> jnp.ndarray:
-    """[B, F, N_BINS] -> [B, HIDDEN] (convs over the frame axis + mean pool)."""
+    """[B, N_FRAMES, N_BINS] -> [B, HIDDEN]: 4 convs over the frame axis with
+    strides (1, 2, 2, 1) collapse time 4 -> 1 (no pooling)."""
     x = feats
-    for blk in params["enc"]:
+    for blk, stride in zip(params["enc"], _ENC_STRIDES):
         x = jax.lax.conv_general_dilated(
-            x, blk["w"], window_strides=(1,), padding=((1, 1),),
+            x, blk["w"], window_strides=(stride,), padding=((1, 1),),
             dimension_numbers=("NWC", "WIO", "NWC"),
         ) + blk["b"]
         x = jax.nn.relu(x)
-    return jnp.mean(x, axis=1)
+    return x[:, 0, :]  # time axis is length 1 after the strided convs
 
 
 def _lstm_cell(params, x, h, c):
@@ -131,12 +157,17 @@ def speech_probs(params: Dict[str, Any], audio: jnp.ndarray) -> jnp.ndarray:
     contexts = x[:, ctx_idx]  # [B, n_chunks, CONTEXT]
     stacked = jnp.concatenate([contexts, chunks], axis=-1)  # [B, N, CONTEXT+CHUNK]
 
+    basis = params["stft"]
+
     def step(carry, xt):
         h, c = carry
-        feats = _chunk_features(xt)  # xt [B, CONTEXT+CHUNK]
+        feats = _chunk_features(basis, xt)  # xt [B, CONTEXT+CHUNK]
         e = _encoder(params, feats)
         h, c = _lstm_cell(params["lstm"], e, h, c)
-        p = jax.nn.sigmoid(h @ params["head"]["w"] + params["head"]["b"])[:, 0]
+        # decoder head: Dropout(eval no-op) -> ReLU -> Conv1d(128->1) -> sigmoid
+        p = jax.nn.sigmoid(
+            jax.nn.relu(h) @ params["head"]["w"] + params["head"]["b"]
+        )[:, 0]
         return (h, c), p
 
     h0 = jnp.zeros((B, HIDDEN), jnp.float32)

@@ -399,6 +399,7 @@ def decode_step(
     self_cache: Dict[str, jnp.ndarray],
     cross_cache: Dict[str, jnp.ndarray],
     beams: int = 1,
+    row_pad: Optional[jnp.ndarray] = None,  # [N] int32 left-pad per row
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Run S tokens through the decoder against a fixed-size KV cache.
 
@@ -409,6 +410,13 @@ def decode_step(
     then has only B rows and is SHARED across each stream's beams — the
     cross-KV stream (the dominant HBM traffic of the decode loop) is read
     once per stream per step instead of once per beam.
+
+    `row_pad` enables PER-ROW prompts inside one fixed-shape batch (the
+    reference's rolling `previous_text` prompt differs per stream,
+    `transcribe.rs:384-386`): row b's prompt is left-padded with `row_pad[b]`
+    filler tokens. Padded slots are masked out of self-attention and the
+    row's position indices shift down by its pad, so each row computes
+    exactly what a lone decode with its unpadded prompt would.
     """
     dec = params["decoder"]
     dtype = dec["tok_emb"].dtype
@@ -416,14 +424,33 @@ def decode_step(
     H = cfg.n_text_head
     Tc = self_cache["k"].shape[-2]  # cache may be shorter than n_text_ctx
 
-    pos = pos_offset + jnp.arange(S)
-    x = dec["tok_emb"][tokens] + dec["pos_emb"][pos][None, :, :].astype(dtype)
-
-    # mask over cache positions: query i (absolute pos_offset+i) may attend
-    # to cache slots <= pos_offset+i (the new keys are written first).
-    kpos = jnp.arange(Tc)[None, :]
-    qpos = pos[:, None]
-    mask = jnp.where(kpos <= qpos, 0.0, -jnp.inf).astype(jnp.float32)  # [S, Tc]
+    buf_pos = pos_offset + jnp.arange(S)  # buffer slots being written
+    if row_pad is None:
+        pos = buf_pos
+        x = dec["tok_emb"][tokens] + dec["pos_emb"][pos][None, :, :].astype(dtype)
+        # mask over cache positions: query i (buffer slot pos_offset+i) may
+        # attend to cache slots <= pos_offset+i (new keys are written first).
+        kpos = jnp.arange(Tc)[None, :]
+        qpos = pos[:, None]
+        mask = jnp.where(kpos <= qpos, 0.0, -jnp.inf).astype(jnp.float32)  # [S, Tc]
+        mask = mask[None, None]  # [1, 1, S, Tc]
+    else:
+        # per-row positions: the row's first REAL token sits at position 0
+        pos = jnp.maximum(buf_pos[None, :] - row_pad[:, None], 0)  # [N, S]
+        x = dec["tok_emb"][tokens] + jnp.take(
+            dec["pos_emb"], pos, axis=0
+        ).astype(dtype)
+        kpos = jnp.arange(Tc)[None, None, :]  # [1, 1, Tc]
+        qpos = buf_pos[None, :, None]  # [1, S, 1]
+        # pad-filler queries (buffer slot < row_pad) see an empty key set,
+        # which would softmax to NaN and poison later cache writes — let
+        # every query attend its own slot (a no-op for real queries, whose
+        # own slot is >= row_pad already); their outputs are never read
+        valid = (kpos <= qpos) & (
+            (kpos >= row_pad[:, None, None]) | (kpos == qpos)
+        )
+        mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)  # [N, S, Tc]
+        mask = mask[:, None]  # [N, 1, S, Tc] broadcast over heads
 
     quantized = "k_q" in cross_cache
 
@@ -444,7 +471,7 @@ def decode_step(
         v_cache = jax.lax.dynamic_update_slice(
             blk["v_cache"], v_new, (0, 0, pos_offset, 0)
         )
-        x = x + _unheads(_attn(q, k_cache, v_cache, mask[None, None])) @ blk["o_w"] + blk["o_b"]
+        x = x + _unheads(_attn(q, k_cache, v_cache, mask)) @ blk["o_w"] + blk["o_b"]
         # cross-attention against the precomputed audio K/V
         h = _ln(x, blk["ln2_s"], blk["ln2_b"])
         cq = _heads(h @ blk["cq_w"] + blk["cq_b"], H)
@@ -540,7 +567,10 @@ def alignment_cross_attn(
     heads: List[Tuple[int, int]],
 ) -> jnp.ndarray:
     """Teacher-forced pass capturing cross-attention of the DTW alignment
-    heads only. Returns [B, K, S, Ta] f32 attention weights (softmaxed).
+    heads only. Returns [B, K, S, Ta] f32 **scaled QK logits** (pre-softmax):
+    openai's `find_alignment` slices the logit matrix to the valid audio
+    frames BEFORE the softmax, so the normalization must happen on the host
+    after slicing (`ops/dtw.py::token_anchor_times`).
 
     Unrolled over layers (not scanned) so head selection is static — only
     the K needed attention maps are ever materialized.
@@ -579,10 +609,9 @@ def alignment_cross_attn(
             logits = jnp.einsum(
                 "bhqd,bhkd->bhqk", cq * scale, ck * scale,
                 preferred_element_type=jnp.float32,
-            )
-            w = jax.nn.softmax(logits, axis=-1)  # [B, H, S, Ta] f32
+            )  # [B, H, S, Ta] f32 scaled QK (softmax deferred to the host)
             for hd in by_layer[l]:
-                captured.append(((l, hd), w[:, hd]))
+                captured.append(((l, hd), logits[:, hd]))
         x = x + _unheads(_attn(cq, ck, cv)) @ blk["co_w"] + blk["co_b"]
 
         h_ = _ln(x, blk["ln3_s"], blk["ln3_b"])

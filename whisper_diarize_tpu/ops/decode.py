@@ -123,11 +123,11 @@ def _timestamp_rule_mask(
     m = m + jnp.where(too_small, NEG_INF, 0.0)
 
     # first sampled token must be a timestamp, capped at max_initial_timestamp
+    # (openai-whisper masks everything below timestamp_begin here, EOT
+    # included — `logits[:, :timestamp_begin] = -inf`)
     init_cap = sp.timestamp_begin + max_initial_ts_idx
     first = step == 0
-    first_mask = jnp.where(
-        (~is_ts & (ids != sp.eot)) | (ids > init_cap), NEG_INF, 0.0
-    )
+    first_mask = jnp.where((~is_ts) | (ids > init_cap), NEG_INF, 0.0)
     m = m + jnp.where(first, first_mask[None, :], 0.0)
 
     logits = logits + m
@@ -138,12 +138,9 @@ def _timestamp_rule_mask(
         jnp.where(is_ts[None, :], logprobs, NEG_INF), axis=-1
     )
     max_text = jnp.max(jnp.where(is_ts[None, :], NEG_INF, logprobs), axis=-1)
+    # (ApplyTimestampRules masks ALL ids below timestamp_begin, EOT included)
     force = ts_logprob > max_text
-    logits = jnp.where(
-        force[:, None] & (~is_ts[None, :]) & (ids[None, :] != sp.eot),
-        NEG_INF,
-        logits,
-    )
+    logits = jnp.where(force[:, None] & (~is_ts[None, :]), NEG_INF, logits)
     return logits
 
 
@@ -175,7 +172,7 @@ def _prepare_logits(
 @functools.partial(
     jax.jit, static_argnames=("cfg", "dc", "sp", "prompt_len", "sot_pos")
 )
-def greedy_decode(
+def greedy_init(
     params: Dict[str, Any],
     cfg: wm.WhisperConfig,
     dc: DecodeConfig,
@@ -186,15 +183,27 @@ def greedy_decode(
     rng: Optional[jnp.ndarray] = None,  # PRNG key when temperature > 0
     suppress_mask: Optional[jnp.ndarray] = None,  # [V]
     sot_pos: int = 0,  # index of <|startoftranscript|> within the prompt
-) -> DecodeResult:
-    """Greedy / temperature sampling with a KV cache under lax.while_loop."""
+    row_pad: Optional[jnp.ndarray] = None,  # [B] per-row prompt left-pad
+) -> Dict[str, Any]:
+    """Prefill the prompt and build the greedy loop state (device pytree).
+
+    The state carries everything the sampling loop needs (cross cache, KV
+    cache, token buffers, grammar flags), so `greedy_run` can be re-entered
+    with an increasing token budget — the engine polls `is_cancelled`
+    between budget windows (the reference aborts whisper.cpp mid-inference
+    through its abort callback, `transcribe.rs:348-350`).
+
+    `row_pad` carries per-row prompt lengths (rows left-padded to the common
+    bucket P): each stream keeps its own rolling prompt inside one full
+    batch (`transcribe.rs:384-386` semantics at TPU batch sizes)."""
     B = xa.shape[0]
     V = cfg.n_vocab
-    sp_ts_begin = sp.timestamp_begin
     max_steps = min(dc.max_tokens, cfg.n_text_ctx - prompt_len - 1)
 
     if suppress_mask is None:
         suppress_mask = jnp.asarray(build_suppress_mask(sp, V))
+    if row_pad is None:
+        row_pad = jnp.zeros((B,), jnp.int32)
 
     cross_cache = wm.cross_kv(params, xa, cfg)
     if dc.quantize_cross_kv:
@@ -206,7 +215,7 @@ def greedy_decode(
 
     # prefill the prompt
     logits_all, cache = wm.decode_step(
-        params, cfg, prompt, jnp.int32(0), cache, cross_cache
+        params, cfg, prompt, jnp.int32(0), cache, cross_cache, row_pad=row_pad
     )
     first_logits = logits_all[:, -1]  # [B, V]
     # no-speech prob is read from the logits produced right after consuming
@@ -214,27 +223,50 @@ def greedy_decode(
     sot_logits = logits_all[:, sot_pos]
     no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, sp.no_speech]
 
-    tokens_buf = jnp.full((B, max_steps), sp.eot, jnp.int32)
-    probs_buf = jnp.zeros((B, max_steps), jnp.float32)
-
-    init = dict(
+    return dict(
         step=jnp.int32(0),
         logits=first_logits,
         cache=cache,
-        tokens=tokens_buf,
-        probs=probs_buf,
+        cross=cross_cache,
+        tokens=jnp.full((B, max_steps), sp.eot, jnp.int32),
+        probs=jnp.zeros((B, max_steps), jnp.float32),
         sum_logprob=jnp.zeros((B,), jnp.float32),
         length=jnp.zeros((B,), jnp.int32),
         finished=jnp.zeros((B,), bool),
         last_was_ts=jnp.zeros((B,), bool),
         penult_was_ts=jnp.zeros((B,), bool),
-        max_ts_tok=jnp.full((B,), sp_ts_begin, jnp.int32),
+        max_ts_tok=jnp.full((B,), sp.timestamp_begin, jnp.int32),
         ts_seen=jnp.zeros((B,), bool),
         rng=rng if rng is not None else jax.random.PRNGKey(0),
+        no_speech_prob=no_speech_prob,
+        row_pad=row_pad,
     )
 
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "dc", "sp", "prompt_len")
+)
+def greedy_run(
+    params: Dict[str, Any],
+    cfg: wm.WhisperConfig,
+    dc: DecodeConfig,
+    sp: SpecialTokens,
+    state: Dict[str, Any],
+    suppress_mask: jnp.ndarray,
+    prompt_len: int,
+    budget: jnp.ndarray,  # scalar int32: stop once step reaches this
+) -> Dict[str, Any]:
+    """Advance the greedy sampling loop up to `budget` total steps."""
+    sp_ts_begin = sp.timestamp_begin
+    max_steps = min(dc.max_tokens, cfg.n_text_ctx - prompt_len - 1)
+    cross_cache = state["cross"]
+
     def cond(s):
-        return (s["step"] < max_steps) & (~jnp.all(s["finished"]))
+        return (
+            (s["step"] < max_steps)
+            & (s["step"] < budget)
+            & (~jnp.all(s["finished"]))
+        )
 
     def body(s):
         logits = _prepare_logits(
@@ -272,6 +304,7 @@ def greedy_decode(
         new_state = dict(
             step=s["step"] + 1,
             cache=s["cache"],
+            cross=s["cross"],
             tokens=tokens,
             probs=probs,
             sum_logprob=sum_logprob,
@@ -286,33 +319,87 @@ def greedy_decode(
             ),
             ts_seen=s["ts_seen"] | (is_ts & ~was_finished),
             rng=key,
+            no_speech_prob=s["no_speech_prob"],
+            row_pad=s["row_pad"],
         )
         step_logits, new_cache = wm.decode_step(
             params, cfg, next_tok[:, None],
             prompt_len + s["step"], s["cache"], cross_cache,
+            row_pad=s["row_pad"],
         )
         new_state["cache"] = new_cache
         new_state["logits"] = step_logits[:, 0]
         return new_state
 
-    final = jax.lax.while_loop(cond, body, init)
-    length = final["length"]
+    return jax.lax.while_loop(cond, body, state)
+
+
+def greedy_finalize(state: Dict[str, Any]) -> DecodeResult:
+    length = state["length"]
     # avg logprob normalizes by length + 1 (the eot), matching openai-whisper
-    avg = final["sum_logprob"] / jnp.maximum(length + 1, 1).astype(jnp.float32)
+    avg = state["sum_logprob"] / jnp.maximum(length + 1, 1).astype(jnp.float32)
     return DecodeResult(
-        tokens=final["tokens"],
+        tokens=state["tokens"],
         lengths=length,
-        sum_logprob=final["sum_logprob"],
+        sum_logprob=state["sum_logprob"],
         avg_logprob=avg,
-        token_probs=final["probs"],
-        no_speech_prob=no_speech_prob,
+        token_probs=state["probs"],
+        no_speech_prob=state["no_speech_prob"],
     )
+
+
+def greedy_decode(
+    params: Dict[str, Any],
+    cfg: wm.WhisperConfig,
+    dc: DecodeConfig,
+    sp: SpecialTokens,
+    xa: jnp.ndarray,  # [B, Ta, D] encoded audio
+    prompt: jnp.ndarray,  # [B, P] int32 (sot sequence, possibly with prev-text)
+    prompt_len: int,
+    rng: Optional[jnp.ndarray] = None,  # PRNG key when temperature > 0
+    suppress_mask: Optional[jnp.ndarray] = None,  # [V]
+    sot_pos: int = 0,  # index of <|startoftranscript|> within the prompt
+    is_cancelled=None,  # host callback polled every poll_tokens steps
+    poll_tokens: int = 32,
+    row_pad: Optional[jnp.ndarray] = None,  # [B] per-row prompt left-pad
+) -> DecodeResult:
+    """Greedy / temperature sampling with a KV cache under lax.while_loop.
+
+    With `is_cancelled` set, the loop runs in `poll_tokens`-step windows and
+    the callback is polled between windows (one tiny host fetch each) — a
+    cancel lands within ~poll_tokens decode steps instead of waiting out the
+    whole window (the reference wires `is_cancelled` into whisper.cpp's
+    abort callback, `transcribe.rs:348-350`).
+    """
+    if suppress_mask is None:
+        suppress_mask = jnp.asarray(build_suppress_mask(sp, cfg.n_vocab))
+    state = greedy_init(
+        params, cfg, dc, sp, xa, prompt, prompt_len, rng=rng,
+        suppress_mask=suppress_mask, sot_pos=sot_pos, row_pad=row_pad,
+    )
+    max_steps = min(dc.max_tokens, cfg.n_text_ctx - prompt_len - 1)
+    if is_cancelled is None:
+        state = greedy_run(
+            params, cfg, dc, sp, state, suppress_mask, prompt_len,
+            jnp.int32(max_steps),
+        )
+    else:
+        budget = 0
+        while budget < max_steps:
+            budget = min(budget + max(poll_tokens, 1), max_steps)
+            state = greedy_run(
+                params, cfg, dc, sp, state, suppress_mask, prompt_len,
+                jnp.int32(budget),
+            )
+            if bool(np.asarray(state["finished"]).all()) or is_cancelled():
+                break
+    return greedy_finalize(state)
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "dc", "sp", "prompt_len", "sot_pos")
 )
-def beam_decode(
+def beam_init(
     params: Dict[str, Any],
     cfg: wm.WhisperConfig,
     dc: DecodeConfig,
@@ -322,14 +409,9 @@ def beam_decode(
     prompt_len: int,
     suppress_mask: Optional[jnp.ndarray] = None,
     sot_pos: int = 0,
-) -> DecodeResult:
-    """Beam search (beam_size K) folded into the batch axis.
-
-    Finished hypotheses are kept in fixed-size per-stream slots; active beams
-    continue until every stream has K finished hypotheses or max_tokens is
-    reached. Final selection is by avg-logprob (sum/(len+1)), whisper's
-    default ranking.
-    """
+    row_pad: Optional[jnp.ndarray] = None,  # [B]
+) -> Dict[str, Any]:
+    """Prefill the prompt and build the beam-search loop state."""
     B = xa.shape[0]
     K = dc.beam_size
     V = cfg.n_vocab
@@ -338,6 +420,8 @@ def beam_decode(
 
     if suppress_mask is None:
         suppress_mask = jnp.asarray(build_suppress_mask(sp, V))
+    if row_pad is None:
+        row_pad = jnp.zeros((B,), jnp.int32)
 
     # replicate streams K times: [B, ...] -> [B*K, ...]
     def rep(x):
@@ -350,18 +434,22 @@ def beam_decode(
         cross_cache = wm.quantize_cross_kv(cross_cache)
     cache_len = min(cfg.n_text_ctx, -(-(prompt_len + max_steps + 1) // 64) * 64)
     cache = wm.init_self_cache(cfg, N, xa.dtype, cache_len)
+    row_pad_n = rep(row_pad)
     logits_all, cache = wm.decode_step(
-        params, cfg, rep(prompt), jnp.int32(0), cache, cross_cache, beams=K
+        params, cfg, rep(prompt), jnp.int32(0), cache, cross_cache, beams=K,
+        row_pad=row_pad_n,
     )
     first_logits = logits_all[:, -1]
     sot_logits = logits_all[:, sot_pos]
     no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, sp.no_speech]
     no_speech_prob = no_speech_prob.reshape(B, K)[:, 0]
 
-    init = dict(
+    return dict(
         step=jnp.int32(0),
         logits=first_logits,  # [N, V]
         cache=cache,
+        cross=cross_cache,
+        no_speech_prob=no_speech_prob,
         tokens=jnp.full((N, max_steps), sp.eot, jnp.int32),
         probs=jnp.zeros((N, max_steps), jnp.float32),
         # beam 0 starts at 0, the rest at -inf so the first expansion
@@ -381,13 +469,39 @@ def beam_decode(
         fin_scores=jnp.full((B, K), NEG_INF, jnp.float32),
         fin_lengths=jnp.zeros((B, K), jnp.int32),
         fin_count=jnp.zeros((B,), jnp.int32),
+        # per-row prompt pads: constant per stream, identical across its
+        # beams, so beam reindexing never needs to gather it
+        row_pad=row_pad_n,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dc", "sp", "prompt_len"))
+def beam_run(
+    params: Dict[str, Any],
+    cfg: wm.WhisperConfig,
+    dc: DecodeConfig,
+    sp: SpecialTokens,
+    state: Dict[str, Any],
+    suppress_mask: jnp.ndarray,
+    prompt_len: int,
+    budget: jnp.ndarray,  # scalar int32
+) -> Dict[str, Any]:
+    """Advance the beam-search loop up to `budget` total steps."""
+    B, K, _ = state["fin_tokens"].shape
+    V = cfg.n_vocab
+    N = B * K
+    max_steps = min(dc.max_tokens, cfg.n_text_ctx - prompt_len - 1)
+    cross_cache = state["cross"]
 
     n_fin_target = int(np.ceil(K * dc.patience)) if dc.patience > 0 else K
     n_fin_target = min(n_fin_target, K)
 
     def cond(s):
-        return (s["step"] < max_steps) & ~jnp.all(s["fin_count"] >= n_fin_target)
+        return (
+            (s["step"] < max_steps)
+            & (s["step"] < budget)
+            & ~jnp.all(s["fin_count"] >= n_fin_target)
+        )
 
     def body(s):
         logits = _prepare_logits(
@@ -465,13 +579,16 @@ def beam_decode(
 
         step_logits, cache = wm.decode_step(
             params, cfg, new_tok[:, None], prompt_len + s["step"], cache,
-            cross_cache, beams=K,
+            cross_cache, beams=K, row_pad=s["row_pad"],
         )
 
         return dict(
             step=s["step"] + 1,
             logits=step_logits[:, 0],
             cache=cache,
+            cross=s["cross"],
+            no_speech_prob=s["no_speech_prob"],
+            row_pad=s["row_pad"],
             tokens=tokens,
             probs=probs,
             scores=new_scores,
@@ -490,7 +607,15 @@ def beam_decode(
             fin_count=fin_count,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
+    return jax.lax.while_loop(cond, body, state)
+
+
+@functools.partial(jax.jit, static_argnames=("dc",))
+def beam_finalize(dc: DecodeConfig, final: Dict[str, Any]) -> DecodeResult:
+    """Select each stream's hypothesis: best finished slot by the ranking, or
+    the best active beam when nothing finished."""
+    B, K, _ = final["fin_tokens"].shape
+    no_speech_prob = final["no_speech_prob"]
 
     # streams with no finished hypothesis fall back to their best active beam
     act_scores = final["scores"].reshape(B, K)
@@ -533,6 +658,113 @@ def beam_decode(
         avg_logprob=avg,
         token_probs=probs,
         no_speech_prob=no_speech_prob,
+    )
+
+
+def beam_decode(
+    params: Dict[str, Any],
+    cfg: wm.WhisperConfig,
+    dc: DecodeConfig,
+    sp: SpecialTokens,
+    xa: jnp.ndarray,  # [B, Ta, D]
+    prompt: jnp.ndarray,  # [B, P]
+    prompt_len: int,
+    suppress_mask: Optional[jnp.ndarray] = None,
+    sot_pos: int = 0,
+    is_cancelled=None,  # host callback polled every poll_tokens steps
+    poll_tokens: int = 32,
+    row_pad: Optional[jnp.ndarray] = None,  # [B] per-row prompt left-pad
+) -> DecodeResult:
+    """Beam search (beam_size K) folded into the batch axis.
+
+    Finished hypotheses are kept in fixed-size per-stream slots; active beams
+    continue until every stream has K finished hypotheses or max_tokens is
+    reached. Final selection is by avg-logprob (sum/(len+1)), whisper's
+    default ranking. With `is_cancelled` set, the loop runs in
+    `poll_tokens`-step windows so a cancel lands mid-decode
+    (`transcribe.rs:348-350` parity).
+    """
+    if suppress_mask is None:
+        suppress_mask = jnp.asarray(build_suppress_mask(sp, cfg.n_vocab))
+    state = beam_init(
+        params, cfg, dc, sp, xa, prompt, prompt_len,
+        suppress_mask=suppress_mask, sot_pos=sot_pos, row_pad=row_pad,
+    )
+    max_steps = min(dc.max_tokens, cfg.n_text_ctx - prompt_len - 1)
+    if is_cancelled is None:
+        state = beam_run(
+            params, cfg, dc, sp, state, suppress_mask, prompt_len,
+            jnp.int32(max_steps),
+        )
+    else:
+        K = dc.beam_size
+        n_fin_target = min(
+            int(np.ceil(K * dc.patience)) if dc.patience > 0 else K, K
+        )
+        budget = 0
+        while budget < max_steps:
+            budget = min(budget + max(poll_tokens, 1), max_steps)
+            state = beam_run(
+                params, cfg, dc, sp, state, suppress_mask, prompt_len,
+                jnp.int32(budget),
+            )
+            done = bool(
+                (np.asarray(state["fin_count"]) >= n_fin_target).all()
+            )
+            if done or is_cancelled():
+                break
+    return beam_finalize(dc, state)
+
+
+def sample_best_of(
+    params: Dict[str, Any],
+    cfg: wm.WhisperConfig,
+    dc: DecodeConfig,
+    sp: SpecialTokens,
+    xa: jnp.ndarray,  # [B, Ta, D]
+    prompt: jnp.ndarray,  # [B, P]
+    prompt_len: int,
+    best_of: int = 5,
+    rng: Optional[jnp.ndarray] = None,
+    suppress_mask: Optional[jnp.ndarray] = None,
+    sot_pos: int = 0,
+    row_pad: Optional[jnp.ndarray] = None,
+) -> DecodeResult:
+    """Temperature sampling with `best_of` independent candidates per stream,
+    ranked by avg logprob — openai-whisper's GreedyDecoder(n_group=best_of)
+    used on the temperature-fallback ladder. Candidates fold into the batch
+    axis like beams, so the whole pool is one decode loop.
+    """
+    if best_of <= 1 or dc.temperature <= 0:
+        return greedy_decode(
+            params, cfg, dc, sp, xa, prompt, prompt_len, rng=rng,
+            suppress_mask=suppress_mask, sot_pos=sot_pos, row_pad=row_pad,
+        )
+    B = xa.shape[0]
+    xa_rep = jnp.repeat(xa, best_of, axis=0)
+    prompt_rep = jnp.repeat(prompt, best_of, axis=0)
+    row_pad_rep = (
+        jnp.repeat(row_pad, best_of, axis=0) if row_pad is not None else None
+    )
+    res = greedy_decode(
+        params, cfg, dc, sp, xa_rep, prompt_rep, prompt_len, rng=rng,
+        suppress_mask=suppress_mask, sot_pos=sot_pos, row_pad=row_pad_rep,
+    )
+    avg = res.avg_logprob.reshape(B, best_of)
+    best = jnp.argmax(avg, axis=-1)  # [B]
+
+    def pick(a: jnp.ndarray) -> jnp.ndarray:
+        g = a.reshape((B, best_of) + a.shape[1:])
+        idx = best.reshape((B,) + (1,) * (g.ndim - 1))
+        return jnp.take_along_axis(g, idx, axis=1)[:, 0]
+
+    return DecodeResult(
+        tokens=pick(res.tokens),
+        lengths=pick(res.lengths),
+        sum_logprob=pick(res.sum_logprob),
+        avg_logprob=pick(res.avg_logprob),
+        token_probs=pick(res.token_probs),
+        no_speech_prob=pick(res.no_speech_prob),
     )
 
 

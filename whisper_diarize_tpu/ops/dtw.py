@@ -4,14 +4,16 @@ Replaces whisper.cpp's DTW machinery (enabled by the reference at
 `/root/reference/src/transcribe.rs:115-136` with per-model alignment-head
 presets, consumed per token as `t_dtw` at `transcribe.rs:273-306`).
 
-Pipeline (openai-whisper `find_alignment` semantics, re-derived):
-  1. take post-softmax cross-attention of the checkpoint's alignment heads
-     for the final token sequence (one teacher-forced pass,
+Pipeline (openai-whisper `find_alignment` semantics, step for step):
+  1. take the scaled QK logits of the checkpoint's alignment heads for the
+     final token sequence (one teacher-forced pass,
      `models/whisper.py::alignment_cross_attn`),
-  2. per (head, frame) column: standardize over tokens (mean/std),
-  3. median-filter along the frame axis (width 7),
-  4. average heads → cost matrix [S_text, T_frames],
-  5. monotonic DTW through -cost; a token's anchor time is the first frame
+  2. slice frames to the valid audio length, THEN softmax over frames —
+     the row normalizer must only see real audio,
+  3. standardize over tokens (mean / biased std, per head-frame column),
+  4. median-filter along the frame axis (width 7, reflect padding),
+  5. average heads → cost matrix [S_text, T_frames],
+  6. monotonic DTW through -cost; a token's anchor time is the first frame
      its row is entered (a "jump"), at 20 ms per encoder frame.
 
 TPU-native detail: the DTW DP recurrence
@@ -38,18 +40,18 @@ import numpy as np
 FRAME_SECONDS = 0.02  # one encoder position = 2 mel frames = 20 ms
 
 
-def median_filter(x: jnp.ndarray, width: int = 7) -> jnp.ndarray:
-    """Median filter along the last axis with edge replication."""
-    if width <= 1:
+def median_filter(x, width: int = 7) -> np.ndarray:
+    """Median filter along the last axis with REFLECT padding (openai's
+    `timing.median_filter` semantics). Host numpy — the DTW cost pipeline
+    runs on attention already fetched from the device."""
+    x = np.asarray(x)
+    if width <= 1 or x.shape[-1] <= width // 2:
         return x
     pad = width // 2
-    xp = jnp.concatenate(
-        [jnp.repeat(x[..., :1], pad, -1), x, jnp.repeat(x[..., -1:], pad, -1)],
-        axis=-1,
-    )
-    idx = jnp.arange(x.shape[-1])[:, None] + jnp.arange(width)[None, :]
+    xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    idx = np.arange(x.shape[-1])[:, None] + np.arange(width)[None, :]
     windows = xp[..., idx]  # [..., T, width]
-    return jnp.median(windows, axis=-1)
+    return np.median(windows, axis=-1)
 
 
 @jax.jit
@@ -131,30 +133,33 @@ def dtw_path(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return dtw_backtrack(cost)
 
 
-@functools.partial(jax.jit, static_argnames=("medfilt_width",))
 def alignment_cost(
-    attn: jnp.ndarray,  # [K, S, Ta] post-softmax alignment-head attention
-    n_frames: jnp.ndarray,  # scalar int: valid encoder frames (audio_len/320)
+    qk: np.ndarray,  # [K, S, Ta] scaled QK logits of the alignment heads
+    n_frames: int,  # valid encoder frames (audio_len / 320)
     medfilt_width: int = 7,
-) -> jnp.ndarray:
-    """Normalize + filter + head-average attention into a DTW cost [S, Ta].
+) -> np.ndarray:
+    """Slice + softmax + standardize + filter + head-average QK logits into a
+    DTW cost matrix [S, n_frames].
 
-    Frames beyond `n_frames` are masked out before normalization so padded
-    audio does not attract the alignment path.
+    Order matches openai's `find_alignment` exactly: frames are SLICED to the
+    valid range *before* the softmax (the per-row normalizer must only see
+    real audio), standardization is over tokens with the biased std, and the
+    median filter uses reflect padding.
     """
-    K, S, Ta = attn.shape
-    frame_ok = jnp.arange(Ta)[None, None, :] < n_frames
-    w = jnp.where(frame_ok, attn, 0.0)
-    mean = jnp.mean(w, axis=1, keepdims=True)
-    std = jnp.std(w, axis=1, keepdims=True)
-    w = (w - mean) / jnp.maximum(std, 1e-9)
+    qk = np.asarray(qk, np.float64)[:, :, : max(int(n_frames), 1)]
+    qk = qk - qk.max(axis=-1, keepdims=True)
+    w = np.exp(qk)
+    w /= w.sum(axis=-1, keepdims=True)
+    mean = w.mean(axis=1, keepdims=True)
+    std = w.std(axis=1, keepdims=True)  # biased (torch.std_mean unbiased=False)
+    w = (w - mean) / np.maximum(std, 1e-9)
     w = median_filter(w, medfilt_width)
-    matrix = jnp.mean(w, axis=0)  # [S, Ta]
-    return -matrix
+    matrix = w.mean(axis=0)  # [S, n_frames]
+    return np.asarray(-matrix, np.float32)
 
 
 def token_anchor_times(
-    attn: np.ndarray,  # [K, S, Ta]
+    qk: np.ndarray,  # [K, S, Ta] scaled QK logits
     n_frames: int,
     medfilt_width: int = 7,
 ) -> np.ndarray:
@@ -163,12 +168,9 @@ def token_anchor_times(
     anchor[k] = time of the first path cell in token row k — the equivalent
     of whisper.cpp's per-token `t_dtw` consumed at `transcribe.rs:273-274`.
     """
-    cost = alignment_cost(jnp.asarray(attn), jnp.int32(n_frames), medfilt_width)
-    # DTW aligns full sequences (it must end at the last column), so padded
-    # frames are sliced off rather than cost-masked
-    cost_np = np.asarray(cost)[:, : max(int(n_frames), 1)]
+    cost_np = alignment_cost(qk, n_frames, medfilt_width)
     text_idx, time_idx = dtw_path(cost_np)
-    S = attn.shape[1]
+    S = qk.shape[1]
     anchors = np.zeros((S,), np.float64)
     jumps = np.pad(np.diff(text_idx), (1, 0), constant_values=1).astype(bool)
     jump_rows = text_idx[jumps]

@@ -261,8 +261,11 @@ def kaldi_fbank(audio: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
     if n < KALDI_FRAME_LEN:
         raise ValueError(f"audio too short for fbank: {n} < {KALDI_FRAME_LEN}")
     n_frames = 1 + (n - KALDI_FRAME_LEN) // KALDI_FRAME_SHIFT
+    # kaldi MelBanksOptions defaults: low_freq=20, high_freq=0 meaning
+    # "Nyquist + 0" — knf-rs / the wespeaker CAM++ pipeline use these
+    # defaults, so fmax is the full Nyquist (ADVICE r1)
     fb = mel_filterbank(
         n_mels, n_fft=KALDI_N_FFT, htk=True, norm_slaney=False, fmin=20.0,
-        fmax=SAMPLE_RATE / 2.0 - 400.0,  # kaldi high-freq offset -400
+        fmax=SAMPLE_RATE / 2.0,
     )
     return _fbank_impl(audio, jnp.asarray(fb.T), n_mels, n_frames)

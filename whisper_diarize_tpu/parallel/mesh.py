@@ -33,12 +33,22 @@ def make_mesh(
     devices: Optional[Sequence] = None,
 ) -> Mesh:
     """Build a ("data", "model") mesh over the available devices."""
+    explicit = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    assert n_data * n_model == len(devices), (
-        f"mesh {n_data}x{n_model} != {len(devices)} devices"
-    )
+    need = n_data * n_model
+    if explicit:
+        assert need == len(devices), (
+            f"mesh {n_data}x{n_model} != {len(devices)} devices"
+        )
+    else:
+        # auto-discovery: a smaller mesh uses the first need devices
+        assert need <= len(devices), (
+            f"mesh {n_data}x{n_model} needs {need} devices, "
+            f"only {len(devices)} available"
+        )
+        devices = devices[:need]
     arr = np.array(devices).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

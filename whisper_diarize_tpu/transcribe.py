@@ -106,6 +106,9 @@ class ChunkResult:
     avg_logprob: float
     no_speech_prob: float
     tokens: List[int]
+    # last CLOSING timestamp actually sampled (None when the window ended
+    # without a timestamp pair) — drives whisper.cpp-style seek advance
+    end_ts: Optional[float] = None
 
 
 class TranscribeStep:
@@ -127,6 +130,7 @@ class TranscribeStep:
         decode_config: Optional[dec.DecodeConfig] = None,
         strategy: str = "beam_search",
         max_text_ctx: Optional[int] = None,
+        mesh=None,  # jax.sharding.Mesh — multi-chip inference (SURVEY §2.5)
     ):
         self.params = params
         self.cfg = cfg
@@ -142,6 +146,15 @@ class TranscribeStep:
         self._suppress = jnp.asarray(
             dec.build_suppress_mask(self.sp, cfg.n_vocab, tokenizer.non_speech_tokens())
         )
+        # Multi-chip: parameters shard with the Megatron TP rules, batches
+        # shard over "data"; GSPMD propagates the shardings through the
+        # jitted encode/decode bodies and inserts the ICI collectives.
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import replicate, shard_params
+
+            self.params = shard_params(self.params, mesh)
+            self._suppress = jax.device_put(self._suppress, replicate(mesh))
         self._encode = jax.jit(lambda p, m: wm.encode(p, m, cfg))
         self._align = jax.jit(
             lambda p, t, xa: wm.alignment_cross_attn(p, cfg, t, xa, self.heads)
@@ -152,12 +165,21 @@ class TranscribeStep:
         )
 
     # -- model invocations ---------------------------------------------------
+    def _place_batch(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Shard a [B, ...] array's batch axis over the mesh's data axis."""
+        if self.mesh is None:
+            return x
+        from .parallel.mesh import data_sharding
+
+        return jax.device_put(x, data_sharding(self.mesh, x.ndim))
+
     def mel(self, audio_batch: np.ndarray) -> jnp.ndarray:
         """[B, N_SAMPLES] float32 -> [B, n_mels, 3000] (Pallas kernel on TPU
         when enabled, MXU-matmul jnp path otherwise)."""
         from .ops.pallas_mel import frontend
 
-        return frontend(jnp.asarray(audio_batch), n_mels=self.cfg.n_mels)
+        return frontend(self._place_batch(jnp.asarray(audio_batch)),
+                        n_mels=self.cfg.n_mels)
 
     def encode(self, mel: jnp.ndarray) -> jnp.ndarray:
         return self._encode(self.params, mel)
@@ -167,27 +189,59 @@ class TranscribeStep:
         batch: int,
         language,  # str | None | Sequence[str] (per batch row)
         task: str,
-        prev_tokens: Optional[Sequence[int]] = None,
-    ) -> Tuple[jnp.ndarray, int, int]:
-        """Returns (prompt [B, P] int32, prompt_len, sot_pos). `language` may
-        be a per-row sequence — rows get their own language token (mixed-
-        language multi-stream batches)."""
-        prefix: List[int] = []
-        if prev_tokens:
-            keep = self.cfg.n_text_ctx // 2 - 1
-            if self.max_text_ctx is not None:
-                keep = min(keep, max(self.max_text_ctx, 0))
-            prefix = ([self.sp.sot_prev] + list(prev_tokens)[-keep:]) if keep else []
+        prev_tokens=None,  # None | Sequence[int] | per-row Sequence[Optional[Sequence[int]]]
+    ) -> Tuple[jnp.ndarray, int, int, Optional[jnp.ndarray]]:
+        """Returns (prompt [B, P] int32, prompt_len, sot_pos, row_pad).
+
+        `language` may be a per-row sequence — rows get their own language
+        token (mixed-language multi-stream batches). `prev_tokens` may also
+        be per row (each stream's rolling `previous_text`,
+        `transcribe.rs:384-386`): rows are left-padded to a shared bucket and
+        `row_pad` [B] carries each row's pad so the decoder can mask it.
+        """
+        keep = self.cfg.n_text_ctx // 2 - 1
+        if self.max_text_ctx is not None:
+            keep = min(keep, max(self.max_text_ctx, 0))
+
+        per_row = (
+            prev_tokens is not None
+            and len(prev_tokens) > 0
+            and isinstance(prev_tokens[0], (list, tuple, np.ndarray, type(None)))
+            and not isinstance(prev_tokens, (bytes, str))
+        )
+        if per_row:
+            assert len(prev_tokens) == batch
+            rows_prev = list(prev_tokens)
+        else:
+            rows_prev = [prev_tokens] * batch
+
+        def make_prefix(pt):
+            if pt is None or len(pt) == 0 or keep <= 0:
+                return []
+            return [self.sp.sot_prev] + list(pt)[-keep:]
+
+        prefixes = [make_prefix(pt) for pt in rows_prev]
+        max_pref = max((len(p) for p in prefixes), default=0)
+        # bucket the prefix length (8) so the jit cache sees few prompt shapes
+        pref_bucket = -(-max_pref // 8) * 8 if max_pref else 0
+
         if language is None or isinstance(language, str):
             langs = [language or "en"] * batch
         else:
             langs = [l or "en" for l in language]
             assert len(langs) == batch
+
+        pads = [pref_bucket - len(p) for p in prefixes]
         rows = [
-            prefix + self.tk.sot_sequence(task=task, language=l) for l in langs
+            [self.sp.sot] * pad + p + self.tk.sot_sequence(task=task, language=l)
+            for pad, p, l in zip(pads, prefixes, langs)
         ]
-        prompt = jnp.asarray(np.asarray(rows, np.int32))
-        return prompt, len(rows[0]), len(prefix)
+        prompt = self._place_batch(jnp.asarray(np.asarray(rows, np.int32)))
+        sot_pos = pref_bucket  # <|sot|> right after the (padded) prefix
+        row_pad = None
+        if any(pads):
+            row_pad = self._place_batch(jnp.asarray(np.asarray(pads, np.int32)))
+        return prompt, len(rows[0]), sot_pos, row_pad
 
     def decode(
         self,
@@ -196,49 +250,72 @@ class TranscribeStep:
         task: str,
         prev_tokens: Optional[Sequence[int]] = None,
         rng: Optional[jnp.ndarray] = None,
+        is_cancelled=None,  # poll mid-decode (`transcribe.rs:348-350` parity)
     ) -> dec.DecodeResult:
         B = xa.shape[0]
-        prompt, prompt_len, sot_pos = self._build_prompt(B, language, task, prev_tokens)
+        prompt, prompt_len, sot_pos, row_pad = self._build_prompt(
+            B, language, task, prev_tokens
+        )
         if self.strategy == "greedy":
             return dec.greedy_decode(
                 self.params, self.cfg, self.dc, self.sp, xa, prompt,
                 prompt_len, rng=rng, suppress_mask=self._suppress,
-                sot_pos=sot_pos,
+                sot_pos=sot_pos, is_cancelled=is_cancelled, row_pad=row_pad,
             )
         return dec.beam_decode(
             self.params, self.cfg, self.dc, self.sp, xa, prompt,
             prompt_len, suppress_mask=self._suppress, sot_pos=sot_pos,
+            is_cancelled=is_cancelled, row_pad=row_pad,
         )
 
     def decode_with_fallback(
         self,
         xa: jnp.ndarray,
-        language: Optional[str],
+        language,  # str | None | Sequence[str]
         task: str,
         prev_tokens: Optional[Sequence[int]] = None,
         temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
         compression_ratio_threshold: float = 2.4,
         logprob_threshold: float = -1.0,
-    ) -> dec.DecodeResult:
+        n_valid_rows: Optional[int] = None,
+        best_of: Optional[int] = None,
+        is_cancelled=None,
+    ) -> Tuple[dec.DecodeResult, np.ndarray]:
         """Temperature-fallback decoding (whisper.cpp runs the same policy
         inside `state.full`, which the reference relies on at
         `transcribe.rs:389`): decode at t=0 (beam/greedy), and re-decode
         windows whose text is degenerate (gzip compression ratio above
         threshold) or improbable (avg logprob below threshold) at increasing
         temperatures, keeping per-window best results.
+
+        openai-whisper fidelity: retries keep the SAME prompt (the t>0.5
+        prompt reset applies to the *next* window's carried text — returned
+        here as per-row final temperatures for the Engine to act on), use
+        sampling with `best_of` parallel candidates ranked by avg logprob,
+        and only rows in [0, n_valid_rows) are ever judged — silent padding
+        rows of a partial batch must not trigger 5 retry ladders.
+
+        Returns (result, final_temperature_per_row).
         """
         import zlib
 
         import jax as _jax
 
-        result = self.decode(xa, language, task, prev_tokens=prev_tokens)
+        result = self.decode(
+            xa, language, task, prev_tokens=prev_tokens,
+            is_cancelled=is_cancelled,
+        )
+        B = xa.shape[0]
+        n_valid_rows = B if n_valid_rows is None else n_valid_rows
+        best_of = best_of or self.dc.beam_size
+        temps = np.zeros((B,), np.float32)
 
         def failures(res: dec.DecodeResult) -> np.ndarray:
             toks = np.asarray(res.tokens)
             lens = np.asarray(res.lengths)
             avg = np.asarray(res.avg_logprob)
             bad = np.zeros(toks.shape[0], bool)
-            for b in range(toks.shape[0]):
+            for b in range(min(toks.shape[0], n_valid_rows)):
                 text = self.tk.decode([int(t) for t in toks[b, : lens[b]]])
                 data = text.encode("utf-8")
                 if len(data) > 16:
@@ -251,18 +328,19 @@ class TranscribeStep:
 
         bad = failures(result)
         for ti, temp in enumerate(temperatures[1:], start=1):
-            if not bad.any():
+            if not bad.any() or (is_cancelled and is_cancelled()):
                 break
             retry_dc = dataclasses.replace(
                 self.dc, temperature=float(temp), beam_size=1
             )
-            prompt, prompt_len, sot_pos = self._build_prompt(
-                xa.shape[0], language, task
+            prompt, prompt_len, sot_pos, row_pad = self._build_prompt(
+                B, language, task, prev_tokens=prev_tokens
             )
-            retry = dec.greedy_decode(
+            retry = dec.sample_best_of(
                 self.params, self.cfg, retry_dc, self.sp, xa, prompt,
-                prompt_len, rng=_jax.random.PRNGKey(ti),
+                prompt_len, best_of=best_of, rng=_jax.random.PRNGKey(ti),
                 suppress_mask=self._suppress, sot_pos=sot_pos,
+                row_pad=row_pad,
             )
             # merge retry rows into the kept result where the old row failed
             sel = jnp.asarray(bad)
@@ -273,8 +351,9 @@ class TranscribeStep:
                 shape_sel = sel.reshape((-1,) + (1,) * (old.ndim - 1))
                 merged[field_.name] = jnp.where(shape_sel, new, old)
             result = dec.DecodeResult(**merged)
+            temps[bad] = float(temp)
             bad = failures(result) & bad  # only previously-bad rows re-judged
-        return result
+        return result, temps
 
     def detect_language(self, xa: jnp.ndarray) -> List[str]:
         logits = self._detect(self.params, xa)  # jitted: one dispatch
@@ -342,6 +421,7 @@ class TranscribeStep:
             ]
             seg_start = ts_values[0] if ts_values else 0.0
             seg_end = ts_values[-1] if len(ts_values) > 1 else chunk_dur
+            end_ts = ts_values[-1] if len(ts_values) > 1 else None
 
             text_idx = [i for i, t in enumerate(toks) if t < self.sp.eot]
             texts = [self.tk.decode_token(toks[i]) for i in text_idx]
@@ -380,6 +460,7 @@ class TranscribeStep:
                     avg_logprob=float(avg_lp[b]),
                     no_speech_prob=float(nsp[b]),
                     tokens=toks,
+                    end_ts=end_ts,
                 )
             )
         return out
