@@ -5,6 +5,12 @@ import pytest
 
 sys.path.insert(0, "tools")
 
+sys.path.insert(0, "evals")
+
+from torch_refs import (  # noqa: E402
+    _build_torch_campplus,
+    _build_torch_pyannet,
+)
 from convert_models import (  # noqa: E402
     convert_campplus,
     convert_pyannote,
@@ -12,185 +18,37 @@ from convert_models import (  # noqa: E402
 )
 
 
-def _build_torch_campplus(torch):
-    """The upstream CAM++ net (modelscope speakerlab DTDNN.py, vendored by
-    wespeaker — the source of the reference's ONNX, `engine.rs:91`), built
-    here as an independent torch implementation for numeric parity tests."""
-    import torch.nn as nn
-    import torch.nn.functional as F
+def test_pyannote_torch_parity(tmp_path):
+    """Independent torch PyanNet vs the JAX forward: converted random
+    weights must produce the same log-probs (validates wav-InstanceNorm,
+    sinc filter construction, pool/norm order, BiLSTM stacking)."""
+    torch = pytest.importorskip("torch")
 
-    class BasicResBlock(nn.Module):
-        def __init__(self, in_planes, planes, stride=1):
-            super().__init__()
-            self.conv1 = nn.Conv2d(in_planes, planes, 3, (stride, 1), 1, bias=False)
-            self.bn1 = nn.BatchNorm2d(planes)
-            self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
-            self.bn2 = nn.BatchNorm2d(planes)
-            self.shortcut = nn.Sequential()
-            if stride != 1 or in_planes != planes:
-                self.shortcut = nn.Sequential(
-                    nn.Conv2d(in_planes, planes, 1, (stride, 1), bias=False),
-                    nn.BatchNorm2d(planes),
-                )
+    from whisper_diarize_tpu.models import segmentation as seg
 
-        def forward(self, x):
-            out = F.relu(self.bn1(self.conv1(x)))
-            out = self.bn2(self.conv2(out))
-            out = out + self.shortcut(x)
-            return F.relu(out)
+    torch.manual_seed(1)
+    net = _build_torch_pyannet(torch).eval()
+    with torch.no_grad():
+        net.sincnet.wav_norm1d.weight.fill_(1.3)
+        net.sincnet.wav_norm1d.bias.fill_(0.05)
+        for norm in net.sincnet.norm1d:
+            norm.weight.uniform_(0.7, 1.3)
+            norm.bias.uniform_(-0.1, 0.1)
 
-    class FCM(nn.Module):
-        def __init__(self, m_channels=32, feat_dim=80):
-            super().__init__()
-            self.conv1 = nn.Conv2d(1, m_channels, 3, 1, 1, bias=False)
-            self.bn1 = nn.BatchNorm2d(m_channels)
-            self.layer1 = nn.Sequential(
-                BasicResBlock(m_channels, m_channels, 2),
-                BasicResBlock(m_channels, m_channels, 1),
-            )
-            self.layer2 = nn.Sequential(
-                BasicResBlock(m_channels, m_channels, 2),
-                BasicResBlock(m_channels, m_channels, 1),
-            )
-            self.conv2 = nn.Conv2d(m_channels, m_channels, 3, (2, 1), 1, bias=False)
-            self.bn2 = nn.BatchNorm2d(m_channels)
+    src = tmp_path / "pyannet.bin"
+    torch.save(net.state_dict(), src)
+    dst = tmp_path / "seg.npz"
+    convert_pyannote(str(src), str(dst))
+    params = seg.load_params(str(dst))
 
-        def forward(self, x):  # x [B, F, T]
-            x = x.unsqueeze(1)
-            out = F.relu(self.bn1(self.conv1(x)))
-            out = self.layer1(out)
-            out = self.layer2(out)
-            out = F.relu(self.bn2(self.conv2(out)))
-            s = out.shape
-            return out.reshape(s[0], s[1] * s[2], s[3])
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal((1, 16000 * 2)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.tensor(audio).unsqueeze(1)).numpy()
 
-    def nonlin(c):
-        # upstream get_nonlinear names the submodules 'batchnorm'/'relu'
-        seq = nn.Sequential()
-        seq.add_module("batchnorm", nn.BatchNorm1d(c))
-        seq.add_module("relu", nn.ReLU())
-        return seq
-
-    class CAMLayer(nn.Module):
-        def __init__(self, bn_ch, out_ch, k, dilation, reduction=2):
-            super().__init__()
-            pad = (k - 1) // 2 * dilation
-            self.linear_local = nn.Conv1d(bn_ch, out_ch, k, 1, pad, dilation,
-                                          bias=False)
-            self.linear1 = nn.Conv1d(bn_ch, bn_ch // reduction, 1)
-            self.linear2 = nn.Conv1d(bn_ch // reduction, out_ch, 1)
-
-        def seg_pooling(self, x, seg_len=100):
-            seg = F.avg_pool1d(x, seg_len, seg_len, ceil_mode=True)
-            shape = seg.shape
-            seg = seg.unsqueeze(-1).expand(*shape, seg_len).reshape(*shape[:-1], -1)
-            return seg[..., : x.shape[-1]]
-
-        def forward(self, x):
-            y = self.linear_local(x)
-            context = x.mean(-1, keepdim=True) + self.seg_pooling(x)
-            context = F.relu(self.linear1(context))
-            m = torch.sigmoid(self.linear2(context))
-            return y * m
-
-    class CAMDenseTDNNLayer(nn.Module):
-        def __init__(self, in_ch, out_ch, bn_ch, k, dilation):
-            super().__init__()
-            self.nonlinear1 = nonlin(in_ch)
-            self.linear1 = nn.Conv1d(in_ch, bn_ch, 1, bias=False)
-            self.nonlinear2 = nonlin(bn_ch)
-            self.cam_layer = CAMLayer(bn_ch, out_ch, k, dilation)
-
-        def forward(self, x):
-            x = self.linear1(self.nonlinear1(x))
-            return self.cam_layer(self.nonlinear2(x))
-
-    class CAMDenseTDNNBlock(nn.Module):
-        def __init__(self, num_layers, in_ch, out_ch, bn_ch, k, dilation):
-            super().__init__()
-            for i in range(num_layers):
-                self.add_module(
-                    f"tdnnd{i + 1}",
-                    CAMDenseTDNNLayer(in_ch + i * out_ch, out_ch, bn_ch, k, dilation),
-                )
-
-        def forward(self, x):
-            for layer in self.children():
-                x = torch.cat([x, layer(x)], dim=1)
-            return x
-
-    class TransitLayer(nn.Module):
-        def __init__(self, in_ch, out_ch):
-            super().__init__()
-            self.nonlinear = nonlin(in_ch)
-            self.linear = nn.Conv1d(in_ch, out_ch, 1, bias=False)
-
-        def forward(self, x):
-            return self.linear(self.nonlinear(x))
-
-    class TDNNLayer(nn.Module):
-        def __init__(self, in_ch, out_ch, k, stride, dilation=1):
-            super().__init__()
-            pad = (k - 1) // 2 * dilation
-            self.linear = nn.Conv1d(in_ch, out_ch, k, stride, pad, dilation,
-                                    bias=False)
-            self.nonlinear = nonlin(out_ch)
-
-        def forward(self, x):
-            return self.nonlinear(self.linear(x))
-
-    class StatsPool(nn.Module):
-        def forward(self, x):  # [B, C, T]
-            return torch.cat([x.mean(-1), x.std(-1, unbiased=True)], dim=-1)
-
-    class DenseLayer(nn.Module):
-        def __init__(self, in_ch, out_ch):
-            super().__init__()
-            self.linear = nn.Conv1d(in_ch, out_ch, 1, bias=False)
-            self.nonlinear = nn.Sequential()  # config_str='batchnorm_'
-            self.nonlinear.add_module("batchnorm", nn.BatchNorm1d(out_ch, affine=False))
-
-        def forward(self, x):
-            x = self.linear(x.unsqueeze(-1)).squeeze(-1)
-            return self.nonlinear(x)
-
-    class CAMPPlus(nn.Module):
-        def __init__(self, feat_dim=80, embedding_size=192, growth_rate=32,
-                     bn_size=4, init_channels=128):
-            super().__init__()
-            from collections import OrderedDict
-
-            self.head = FCM(feat_dim=feat_dim)
-            channels = 32 * (feat_dim // 8)
-            self.xvector = nn.Sequential(OrderedDict([
-                ("tdnn", TDNNLayer(channels, init_channels, 5, 2)),
-            ]))
-            channels = init_channels
-            for i, (num_layers, k, dilation) in enumerate(
-                zip((12, 24, 16), (3, 3, 3), (1, 2, 2))
-            ):
-                self.xvector.add_module(
-                    f"block{i + 1}",
-                    CAMDenseTDNNBlock(num_layers, channels, growth_rate,
-                                      bn_size * growth_rate, k, dilation),
-                )
-                channels += num_layers * growth_rate
-                self.xvector.add_module(
-                    f"transit{i + 1}", TransitLayer(channels, channels // 2)
-                )
-                channels //= 2
-            self.xvector.add_module("out_nonlinear", nonlin(channels))
-            self.xvector.add_module("stats", StatsPool())
-            self.xvector.add_module(
-                "dense", DenseLayer(channels * 2, embedding_size)
-            )
-
-        def forward(self, x):  # x [B, T, F]
-            x = x.permute(0, 2, 1)
-            x = self.head(x)
-            return self.xvector(x)
-
-    return CAMPPlus()
+    out = np.asarray(seg.forward(params, audio))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
 
 
 def test_campplus_conversion_and_torch_parity(tmp_path):

@@ -271,6 +271,34 @@ def test_engine_mesh_batch_divisibility(tmp_path):
         eng.transcribe_audio(wav, TranscribeOptions(enable_vad=False, lang="en"))
 
 
+def test_distributed_helpers_single_host():
+    """`parallel.distributed` on a single host: initialize() degrades
+    gracefully in auto-detect mode, global_mesh covers all devices,
+    local_batch_slice owns the whole batch."""
+    from whisper_diarize_tpu.parallel import distributed as dist
+
+    dist.initialize()  # single host: must not raise
+    if len(jax.devices()) >= 2:
+        mesh = dist.global_mesh(n_model=2)
+        assert mesh.shape["model"] == 2
+        assert mesh.shape["data"] * 2 <= len(jax.devices())
+    assert dist.local_batch_slice(16) == slice(0, 16)
+
+
+def test_distributed_initialize_explicit_failure_raises():
+    """Explicit cluster args that cannot be honored must raise, not be
+    silently swallowed (ADVICE r1: no debug-log error hiding)."""
+    from whisper_diarize_tpu.parallel import distributed as dist
+
+    if dist._initialized:
+        pytest.skip("distributed already initialized in this process")
+    with pytest.raises(Exception):
+        dist.initialize(
+            coordinator_address="127.0.0.1:1",  # nothing listens here
+            num_processes=2, process_id=0,
+        )
+
+
 def test_graft_entry_dryrun_small():
     import __graft_entry__ as g
 

@@ -110,18 +110,30 @@ def convert_silero(src: str, dst: str) -> None:
 
 def convert_pyannote(src: str, dst: str) -> None:
     """pyannote segmentation-3.0 torch checkpoint ->
-    models/segmentation.load_params layout (dotted keys)."""
+    models/segmentation.load_params layout (dotted keys).
+
+    Accepts the raw PyanNet state dict, a pytorch-lightning checkpoint
+    ({"state_dict": {"model.…"}}), and both asteroid filterbank key spellings
+    (`sincnet.conv1d.0.filterbank.low_hz_` vs `sincnet.conv1d.0.low_hz_`)."""
     sd = _load_torch_state(src)
+    for prefix in ("model.", "_model."):
+        if any(k.startswith(prefix + "sincnet.") for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items()
+                  if k.startswith(prefix)}
+            break
     out = {}
     mapped = set()
 
     def put(key, name, transform=lambda a: a):
-        if name in sd:
-            out[key] = transform(sd[name])
-            mapped.add(name)
-        else:
-            print(f"[pyannote] missing: {name}")
+        for cand in (name, name.replace("conv1d.0.", "conv1d.0.filterbank.")):
+            if cand in sd:
+                out[key] = transform(sd[cand])
+                mapped.add(cand)
+                return
+        print(f"[pyannote] missing: {name}")
 
+    put("wav_norm.s", "sincnet.wav_norm1d.weight", lambda a: a.reshape(-1))
+    put("wav_norm.b", "sincnet.wav_norm1d.bias", lambda a: a.reshape(-1))
     put("sinc.low_hz", "sincnet.conv1d.0.low_hz_", lambda a: a.reshape(-1))
     put("sinc.band_hz", "sincnet.conv1d.0.band_hz_", lambda a: a.reshape(-1))
     # conv blocks 1/2 -> ours conv1/conv2 (torch [out,in,k] -> [k,in,out])

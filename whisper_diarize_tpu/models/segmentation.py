@@ -2,10 +2,13 @@
 
 Replaces the ONNX `segmentation-3.0.onnx` model the reference runs through
 pyannote-rs/ONNX Runtime (`/root/reference/src/engine.rs:117-122`, model URL
-`engine.rs:90`). Architecture follows the public pyannote design:
+`engine.rs:90`). Op graph matches pyannote.audio's PyanNet:
 
-  SincNet frontend (parametrized sinc band-pass conv, stride 10; two conv
-  blocks; each followed by abs/layer-norm/leaky-relu + maxpool 3)
+  InstanceNorm1d(affine) on the raw waveform
+  → SincNet frontend: ParamSincFB band-pass conv (80 filters, kernel 251,
+    stride 10, min_low_hz = min_band_hz = 50) → abs → maxpool 3 →
+    InstanceNorm1d(affine, over time) → leaky-relu; then two blocks of
+    Conv1d(k5, valid) → maxpool 3 → InstanceNorm1d → leaky-relu
   → 4-layer bidirectional LSTM (hidden 128)
   → 2 linear layers (128, leaky-relu)
   → classifier → log-softmax over the 7 **powerset** classes of ≤ 3
@@ -99,6 +102,7 @@ def init_params(seed: int = 0) -> Dict[str, Any]:
         }
 
     params = {
+        "wav_norm": {"s": np.ones((1,), np.float32), "b": np.zeros((1,), np.float32)},
         "sinc": {"low_hz": low, "band_hz": band},
         "ln0": {"s": np.ones((SINC_FILTERS,), np.float32), "b": np.zeros((SINC_FILTERS,), np.float32)},
         "conv1": conv(SINC_FILTERS, CONV_FILTERS, CONV_KERNEL),
@@ -134,29 +138,46 @@ def load_params(path: str) -> Dict[str, Any]:
     return out
 
 
+MIN_LOW_HZ = 50.0
+MIN_BAND_HZ = 50.0
+
+
 def _sinc_kernel(low_hz: jnp.ndarray, band_hz: jnp.ndarray) -> jnp.ndarray:
-    """Materialize band-pass sinc filters [SINC_KERNEL, 1, SINC_FILTERS]."""
-    low = jnp.abs(low_hz) + 50.0
-    high = jnp.clip(low + jnp.abs(band_hz), 50.0, SAMPLE_RATE / 2)
-    t = (jnp.arange(SINC_KERNEL) - (SINC_KERNEL - 1) / 2) / SAMPLE_RATE  # [K]
-    t = jnp.where(t == 0, 1e-12, t)
-    window = 0.54 - 0.46 * jnp.cos(
-        2 * jnp.pi * jnp.arange(SINC_KERNEL) / (SINC_KERNEL - 1)
+    """Materialize band-pass sinc filters [SINC_KERNEL, 1, SINC_FILTERS].
+
+    Exact SincNet / asteroid ParamSincFB construction: low = min_low + |low|,
+    high = clip(low + min_band + |band|, min_low, Nyquist); the left half is
+    (sin(2π·f_hi·t) − sin(2π·f_lo·t))/(πt) windowed by the classic SincNet
+    hamming ramp, the center tap is the UNWINDOWED 2·band, the right half
+    mirrors the left; the filter is normalized by 1/(2·band) (the scale
+    cancels in the affine InstanceNorm that follows abs+maxpool, but the
+    shape must match the upstream trained weights)."""
+    low = MIN_LOW_HZ + jnp.abs(low_hz)
+    high = jnp.clip(
+        low + MIN_BAND_HZ + jnp.abs(band_hz), MIN_LOW_HZ, SAMPLE_RATE / 2
     )
+    band = high - low
+    half = (SINC_KERNEL - 1) // 2
+    n_ = 2.0 * jnp.pi * jnp.arange(-half, 0) / SAMPLE_RATE  # [half] (= 2πt)
+    n_lin = jnp.linspace(0.0, SINC_KERNEL / 2 - 1, half)
+    window = 0.54 - 0.46 * jnp.cos(2.0 * jnp.pi * n_lin / SINC_KERNEL)
 
-    def bandpass(lo, hi):
-        return (jnp.sin(2 * jnp.pi * hi * t) - jnp.sin(2 * jnp.pi * lo * t)) / (
-            jnp.pi * t
-        ) * window
-
-    filt = jax.vmap(bandpass)(low, high)  # [F, K]
-    filt = filt / jnp.max(jnp.abs(filt), axis=1, keepdims=True)
+    f_lo = low[:, None] * n_[None, :]
+    f_hi = high[:, None] * n_[None, :]
+    left = ((jnp.sin(f_hi) - jnp.sin(f_lo)) / (n_[None, :] / 2.0)) * window
+    center = 2.0 * band[:, None]
+    right = left[:, ::-1]
+    filt = jnp.concatenate([left, center, right], axis=1)  # [F, K]
+    filt = filt / (2.0 * band[:, None])
     return filt.T[:, None, :]  # [K, 1, F]
 
 
-def _layernorm(x, p):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
+def _instance_norm(x, p):
+    """InstanceNorm1d(affine) semantics: normalize each channel over TIME.
+
+    x [B, T, C]; per-channel affine (pyannote's SincNet norm1d layers)."""
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.var(x, axis=1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["s"] + p["b"]
 
 
@@ -191,6 +212,8 @@ def forward(params: Dict[str, Any], audio: jnp.ndarray) -> jnp.ndarray:
     if audio.ndim == 1:
         audio = audio[None]
     x = audio[:, :, None]  # [B, T, 1]
+    # PyanNet wav_norm1d: instance-normalize the raw waveform
+    x = _instance_norm(x, params["wav_norm"]) if "wav_norm" in params else x
     k = _sinc_kernel(params["sinc"]["low_hz"], params["sinc"]["band_hz"])
     x = jax.lax.conv_general_dilated(
         x, k, window_strides=(SINC_STRIDE,), padding="VALID",
@@ -198,7 +221,7 @@ def forward(params: Dict[str, Any], audio: jnp.ndarray) -> jnp.ndarray:
     )
     x = jnp.abs(x)
     x = _maxpool(x, POOL)
-    x = jax.nn.leaky_relu(_layernorm(x, params["ln0"]), 0.01)
+    x = jax.nn.leaky_relu(_instance_norm(x, params["ln0"]), 0.01)
 
     for conv_name, ln_name in (("conv1", "ln1"), ("conv2", "ln2")):
         x = jax.lax.conv_general_dilated(
@@ -206,7 +229,7 @@ def forward(params: Dict[str, Any], audio: jnp.ndarray) -> jnp.ndarray:
             dimension_numbers=("NWC", "WIO", "NWC"),
         ) + params[conv_name]["b"]
         x = _maxpool(x, POOL)
-        x = jax.nn.leaky_relu(_layernorm(x, params[ln_name]), 0.01)
+        x = jax.nn.leaky_relu(_instance_norm(x, params[ln_name]), 0.01)
 
     for layer in params["lstm"]:
         fwd = _lstm_scan(layer["fwd"], x)

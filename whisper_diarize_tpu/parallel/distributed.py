@@ -30,6 +30,7 @@ def initialize(
     global _initialized
     if _initialized:
         return
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -42,8 +43,12 @@ def initialize(
             jax.process_index(), jax.process_count(),
             jax.local_device_count(), jax.device_count(),
         )
-    except Exception as e:  # single-host or already-initialized runtimes
-        logger.debug("jax.distributed not initialized: %s", e)
+    except Exception as e:
+        if explicit:
+            # the caller configured a cluster — a failure is a real error,
+            # not a single-host fallback
+            raise
+        logger.info("jax.distributed not initialized (single host?): %s", e)
 
 
 def global_mesh(n_model: int = 1):
