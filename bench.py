@@ -85,35 +85,46 @@ def bench_config(model: str, *, beam: int = 1, diarize: bool = False,
         return res, xa
 
     heads = wm.alignment_heads_for(model, cfg)
-    align = jax.jit(
-        lambda p, t, xa: wm.alignment_cross_attn(p, cfg, t, xa, heads)
+    # fused alignment pass + on-device DTW cost (only [B, S, Ta] crosses the
+    # tunneled host link, not the K-fold attention maps)
+    align_cost = jax.jit(
+        lambda p, t, xa, nf, nr: dtw_ops.alignment_cost_batch(
+            wm.alignment_cross_attn(p, cfg, t, xa, heads), nf, nr
+        )
     )
 
     if diarize:
         from whisper_diarize_tpu.models import campplus
 
         emb_params = campplus.init_params()
-        audio_i16 = [
-            (np.asarray(audio[b]) * 32768).astype(np.int16) for b in range(BATCH)
-        ]
+        n_valid = jnp.full((BATCH,), N_SAMPLES, jnp.int32)
+
+    sot = np.tile(np.array(tk.sot_sequence(language="en"), np.int32), (BATCH, 1))
+    n_frames = jnp.full((BATCH,), cfg.n_audio_ctx, jnp.int32)
 
     def run_once():
         res, xa = full_step(params, audio, prompt, suppress)
+        if diarize:
+            # ON-DEVICE speaker embeddings straight from the decode's audio
+            embs = campplus.embed_from_audio(emb_params, audio, n_valid)
         if dtw:
             toks = np.asarray(res.tokens)
-            sot = np.tile(
-                np.array(tk.sot_sequence(language="en"), np.int32), (BATCH, 1)
-            )
+            lens = np.asarray(res.lengths)
             seq = jnp.asarray(np.concatenate([sot, toks], axis=1))
-            qk = np.asarray(align(params, seq, xa))
+            n_rows = jnp.asarray(
+                np.minimum(sot.shape[1] + lens + 1, seq.shape[1]), jnp.int32
+            )
+            cost = np.asarray(align_cost(params, seq, xa, n_frames, n_rows))
             for b in range(BATCH):
-                dtw_ops.token_anchor_times(
-                    qk[b][:, sot.shape[1]:, :], cfg.n_audio_ctx
+                n_tok = max(int(lens[b]), 1)
+                dtw_ops.anchor_times_from_cost(
+                    np.ascontiguousarray(
+                        cost[b][sot.shape[1]: sot.shape[1] + n_tok]
+                    ),
+                    n_tok,
                 )
         if diarize:
-            from whisper_diarize_tpu.models import campplus
-
-            campplus.compute_embeddings_batch(emb_params, audio_i16)
+            _sync(embs)
         _sync(res.tokens)
 
     run_once()  # warmup / compile

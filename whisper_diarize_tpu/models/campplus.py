@@ -294,6 +294,35 @@ def embed_from_fbank(params: Dict[str, Any], feats: jnp.ndarray,
     return (emb - d["bn_m"]) * jax.lax.rsqrt(d["bn_v"] + BN_EPS)
 
 
+MAX_EMBED_FRAMES = 1998  # ~20 s of fbank context per embedding
+
+
+@jax.jit
+def embed_from_audio(params: Dict[str, Any], audio: jnp.ndarray,
+                     n_valid: jnp.ndarray) -> jnp.ndarray:
+    """FULLY ON-DEVICE embedding: audio [B, T] float32 in [-1, 1] (the same
+    device array the decode path consumes — zero extra host↔device traffic)
+    + n_valid [B] real sample counts -> [B, EMB_DIM].
+
+    Front-end parity with knf-rs: kaldi fbank on int16-scale values, then
+    per-utterance mean subtraction over the VALID frames only (wespeaker
+    CMN), capped at MAX_EMBED_FRAMES like the host path."""
+    feats = kaldi_fbank(audio * 32768.0)  # [B, T', 80]
+    feats = feats[:, :MAX_EMBED_FRAMES]
+    Tf = feats.shape[1]
+    # frame i covers samples [i*160, i*160+400): valid iff fully inside
+    frame_ok = (
+        jnp.arange(Tf)[None, :] * 160 + 400 <= n_valid[:, None]
+    )
+    # rows with <1 valid frame (tiny windows) fall back to frame 0
+    frame_ok = frame_ok.at[:, 0].set(True)
+    m = frame_ok[:, :, None].astype(feats.dtype)
+    cnt = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
+    mean = (feats * m).sum(axis=1, keepdims=True) / cnt
+    feats = (feats - mean) * m
+    return embed_from_fbank(params, feats, frame_ok.astype(jnp.float32))
+
+
 def compute_embedding(params: Dict[str, Any], int_samples: np.ndarray) -> np.ndarray:
     """i16 samples (one segment) -> [EMB_DIM] embedding.
 

@@ -143,10 +143,10 @@ def alignment_cost(
 
     Order matches openai's `find_alignment` exactly: frames are SLICED to the
     valid range *before* the softmax (the per-row normalizer must only see
-    real audio), standardization is over tokens with the biased std, and the
-    median filter uses reflect padding.
+    real audio), standardization is over tokens with the biased std (f32,
+    like openai's torch path), and the median filter uses reflect padding.
     """
-    qk = np.asarray(qk, np.float64)[:, :, : max(int(n_frames), 1)]
+    qk = np.asarray(qk, np.float32)[:, :, : max(int(n_frames), 1)]
     qk = qk - qk.max(axis=-1, keepdims=True)
     w = np.exp(qk)
     w /= w.sum(axis=-1, keepdims=True)
@@ -156,6 +156,57 @@ def alignment_cost(
     w = median_filter(w, medfilt_width)
     matrix = w.mean(axis=0)  # [S, n_frames]
     return np.asarray(-matrix, np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("medfilt_width",))
+def alignment_cost_batch(
+    qk: jnp.ndarray,  # [B, K, S, Ta] scaled QK logits
+    n_frames: jnp.ndarray,  # [B] valid encoder frames per row
+    n_rows: jnp.ndarray = None,  # [B] valid token rows (sot+text+eot); None=all
+    medfilt_width: int = 7,
+) -> jnp.ndarray:
+    """Batched ON-DEVICE version of `alignment_cost` → [B, S, Ta] f32.
+
+    Fetching raw attention maps off-chip costs ~40 MB per batch over the
+    tunneled TPU link; reducing to the cost matrix on device cuts the
+    transfer ~K·medfilt-fold. Numerically identical inside the valid region:
+    masking pad frames to -inf before the softmax IS openai's frame slice
+    (same per-row normalizer), standardization is per frame-column over the
+    VALID token rows (openai standardizes over the full teacher-forced
+    sequence — sot + text + eot — and slices rows after), and the median
+    filter reflects at each row's own n_frames boundary. Columns >= n_frames
+    / rows >= n_rows are garbage — the host slices them off before DTW.
+    """
+    B, K, S, Ta = qk.shape
+    cols = jnp.arange(Ta)
+    frame_ok = cols[None, None, None, :] < n_frames[:, None, None, None]
+    logits = jnp.where(frame_ok, qk.astype(jnp.float32), -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1)  # pad columns -> exact zeros
+    if n_rows is None:
+        mean = jnp.mean(w, axis=2, keepdims=True)  # over tokens, per column
+        std = jnp.std(w, axis=2, keepdims=True)
+    else:
+        row_ok = (jnp.arange(S)[None, None, :, None]
+                  < n_rows[:, None, None, None]).astype(w.dtype)
+        cnt = jnp.maximum(row_ok.sum(axis=2, keepdims=True), 1.0)
+        mean = (w * row_ok).sum(axis=2, keepdims=True) / cnt
+        var = (jnp.square(w - mean) * row_ok).sum(axis=2, keepdims=True) / cnt
+        std = jnp.sqrt(var)
+    w = (w - mean) / jnp.maximum(std, 1e-9)
+
+    # median filter along frames, reflect-padded at each row's own boundary
+    pad = medfilt_width // 2
+    taps = cols[:, None] + jnp.arange(-pad, pad + 1)[None, :]  # [Ta, W]
+    taps = jnp.abs(taps)  # left reflect at 0
+    last = (n_frames - 1)[:, None, None]  # [B, 1, 1]
+    taps_b = last - jnp.abs(last - taps[None, :, :])  # right reflect at n-1
+    taps_b = jnp.clip(taps_b, 0, Ta - 1)  # pad columns: keep in range
+
+    def medfilt_row(wb, tapsb):  # wb [K, S, Ta]; tapsb [Ta, W]
+        return jnp.median(wb[:, :, tapsb], axis=-1)
+
+    w = jax.vmap(medfilt_row)(w, taps_b)
+    return -jnp.mean(w, axis=1)  # [B, S, Ta]
 
 
 def token_anchor_times(
@@ -169,8 +220,13 @@ def token_anchor_times(
     of whisper.cpp's per-token `t_dtw` consumed at `transcribe.rs:273-274`.
     """
     cost_np = alignment_cost(qk, n_frames, medfilt_width)
+    return anchor_times_from_cost(cost_np, qk.shape[1])
+
+
+def anchor_times_from_cost(cost_np: np.ndarray, S: int) -> np.ndarray:
+    """DTW + jump extraction over a precomputed [S, n_frames] cost matrix
+    (the device path: `alignment_cost_batch` → host fetch → here)."""
     text_idx, time_idx = dtw_path(cost_np)
-    S = qk.shape[1]
     anchors = np.zeros((S,), np.float64)
     jumps = np.pad(np.diff(text_idx), (1, 0), constant_values=1).astype(bool)
     jump_rows = text_idx[jumps]

@@ -29,6 +29,9 @@ class ChunkWindow:
     start: float  # absolute start time (seconds) in the full audio
     samples: np.ndarray  # int16, <= N_SAMPLES
     stream_idx: int = 0  # which audio stream this window belongs to
+    # stride already applied at schedule time (deterministic windows: final
+    # partials, or seek disabled) — advance()/replay() become no-ops
+    committed: bool = False
 
 
 def plan_windows(
@@ -219,14 +222,24 @@ class WindowScheduler:
                 if cur is None:
                     continue
                 part = cur.samples[cur.offset: cur.offset + self.max_window]
-                cur.in_flight = True
-                group.append(ChunkWindow(
+                w = ChunkWindow(
                     chunk_idx=cur.chunk_idx,
                     window_idx=cur.window_idx,
                     start=cur.start + cur.offset / SAMPLE_RATE,
                     samples=part,
                     stream_idx=cur.stream_idx,
-                ))
+                )
+                if self.seek_enabled and len(part) == self.max_window:
+                    # the next window's start depends on this decode's seek
+                    cur.in_flight = True
+                else:
+                    # deterministic stride (final partial window, or seek
+                    # off): commit now so MORE windows of this chunk can
+                    # join the same batch
+                    cur.offset += len(part)
+                    cur.window_idx += 1
+                    w.committed = True
+                group.append(w)
                 used_streams.add(si)
                 progress = True
                 if len(group) >= batch_size:
@@ -238,15 +251,14 @@ class WindowScheduler:
 
     def advance(self, window: ChunkWindow, seek_samples: Optional[int] = None) -> int:
         """Consume the decoded window. `seek_samples` = the last sampled
-        timestamp (window-local); None or a partial window consumes fully.
-        Returns the stride actually applied (for the resume journal)."""
-        cur = self._cursors[(window.stream_idx, window.chunk_idx)]
+        timestamp (window-local); None or a committed (deterministic-stride)
+        window consumes fully. Returns the stride applied (for the resume
+        journal)."""
         n = len(window.samples)
-        if (
-            seek_samples is None
-            or not self.seek_enabled
-            or n < self.max_window  # final window: nothing left to seek into
-        ):
+        if window.committed:
+            return n  # stride applied at schedule time
+        cur = self._cursors[(window.stream_idx, window.chunk_idx)]
+        if seek_samples is None or not self.seek_enabled:
             step = n
         else:
             step = int(np.clip(seek_samples, self.min_seek, n))
@@ -257,6 +269,8 @@ class WindowScheduler:
 
     def replay(self, window: ChunkWindow, step: int) -> None:
         """Re-apply a journaled advance without decoding (resume path)."""
+        if window.committed:
+            return
         cur = self._cursors[(window.stream_idx, window.chunk_idx)]
         cur.offset += max(int(step), 1)
         cur.window_idx += 1

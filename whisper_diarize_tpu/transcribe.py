@@ -159,6 +159,14 @@ class TranscribeStep:
         self._align = jax.jit(
             lambda p, t, xa: wm.alignment_cross_attn(p, cfg, t, xa, self.heads)
         )
+        # fused teacher-forced alignment pass + on-device DTW cost reduction:
+        # only the [B, S, Ta] cost matrix crosses the (slow, tunneled) host
+        # link instead of [B, K, S, Ta] attention maps
+        self._align_cost = jax.jit(
+            lambda p, t, xa, nf, nr: dtw_ops.alignment_cost_batch(
+                wm.alignment_cross_attn(p, cfg, t, xa, self.heads), nf, nr
+            )
+        )
         sot_id = self.sp.sot
         self._detect = jax.jit(
             lambda p, xa: wm.detect_language_logits(p, cfg, xa, sot_id)
@@ -173,9 +181,14 @@ class TranscribeStep:
 
         return jax.device_put(x, data_sharding(self.mesh, x.ndim))
 
-    def mel(self, audio_batch: np.ndarray) -> jnp.ndarray:
-        """[B, N_SAMPLES] float32 -> [B, n_mels, 3000] (Pallas kernel on TPU
-        when enabled, MXU-matmul jnp path otherwise)."""
+    def place_audio(self, audio_batch: np.ndarray) -> jnp.ndarray:
+        """Upload an audio batch once; mel, decode and speaker embeddings all
+        consume the same device array."""
+        return self._place_batch(jnp.asarray(audio_batch))
+
+    def mel(self, audio_batch) -> jnp.ndarray:
+        """[B, N_SAMPLES] float32 (host or device) -> [B, n_mels, 3000]
+        (Pallas kernel on TPU when enabled, MXU-matmul jnp path otherwise)."""
         from .ops.pallas_mel import frontend
 
         return frontend(self._place_batch(jnp.asarray(audio_batch)),
@@ -394,20 +407,35 @@ class TranscribeStep:
                 seq = np.concatenate(
                     [np.tile(np.array(sot, np.int32), (B, 1)), pad], axis=1
                 )
-                attn = np.asarray(self._align(self.params, jnp.asarray(seq), xa))
-                # text rows start after the sot sequence
-                attn_text = attn[:, :, len(sot):, :]
+                n_frames_arr = np.array(
+                    [
+                        max(min(
+                            int(np.ceil(chunk_samples[b] / (SAMPLE_RATE * dtw_ops.FRAME_SECONDS))),
+                            self.cfg.n_audio_ctx,
+                        ), 1)
+                        for b in range(B)
+                    ],
+                    np.int32,
+                )
+                # valid token rows for the standardization: sot + text + eot
+                n_rows_arr = np.minimum(
+                    len(sot) + lengths.astype(np.int32) + 1, seq.shape[1]
+                )
+                cost = np.asarray(self._align_cost(
+                    self.params, jnp.asarray(seq), xa,
+                    jnp.asarray(n_frames_arr), jnp.asarray(n_rows_arr),
+                ))
                 for b in range(B):
                     n_tok = int(lengths[b])
                     if n_tok == 0:
                         continue
-                    n_frames = min(
-                        int(np.ceil(chunk_samples[b] / (SAMPLE_RATE * dtw_ops.FRAME_SECONDS))),
-                        self.cfg.n_audio_ctx,
-                    )
-                    # drop pad rows: the DTW path must cover only real tokens
-                    anchors_all[b] = dtw_ops.token_anchor_times(
-                        attn_text[b][:, :n_tok, :], max(n_frames, 1)
+                    # rows: the sampled text tokens only (sot rows dropped,
+                    # like openai's matrix[len(sot_sequence):-1])
+                    cost_b = cost[b][
+                        len(sot): len(sot) + n_tok, : n_frames_arr[b]
+                    ]
+                    anchors_all[b] = dtw_ops.anchor_times_from_cost(
+                        np.ascontiguousarray(cost_b), n_tok
                     )
 
         out: List[ChunkResult] = []
