@@ -270,6 +270,15 @@ class TranscribeStep:
             B, language, task, prev_tokens
         )
         if self.strategy == "greedy":
+            if self.dc.temperature > 0 and self.dc.beam_size > 1:
+                # best_of_or_beam_size doubles as best_of for sampling
+                # (`transcribe.rs:22`; openai GreedyDecoder n_group)
+                return dec.sample_best_of(
+                    self.params, self.cfg, self.dc, self.sp, xa, prompt,
+                    prompt_len, best_of=self.dc.beam_size, rng=rng,
+                    suppress_mask=self._suppress, sot_pos=sot_pos,
+                    row_pad=row_pad,
+                )
             return dec.greedy_decode(
                 self.params, self.cfg, self.dc, self.sp, xa, prompt,
                 prompt_len, rng=rng, suppress_mask=self._suppress,
