@@ -31,6 +31,12 @@ def _add_transcribe(sub):
     p.add_argument("--max-tokens", type=int, default=224)
     p.add_argument("--offset", type=float, default=0.0)
     p.add_argument("--resume-dir", default=None)
+    p.add_argument("--sequential-prompt", action="store_true",
+                   help="reference-parity rolling previous-text prompts")
+    p.add_argument("--no-seek", action="store_true",
+                   help="hard 30 s cuts instead of whisper.cpp seek advance")
+    p.add_argument("--mesh", default=None, metavar="DxM",
+                   help="multi-chip inference mesh, e.g. 4x1 (data x model)")
     p.add_argument("--max-lines", type=int, default=None)
     p.add_argument("--max-chars-per-line", type=int, default=None)
     p.add_argument("-o", "--output", default="-", help="output JSON ('-' = stdout)")
@@ -49,6 +55,10 @@ def cmd_transcribe(args) -> int:
     from .formatting import FormattingOverrides
     from .types import AdvancedTranscribe, Callbacks, TranscribeOptions, segments_to_json
 
+    mesh_shape = None
+    if args.mesh:
+        d, m = args.mesh.lower().split("x")
+        mesh_shape = (int(d), int(m))
     cfg = EngineConfig(
         cache_dir=args.cache_dir,
         whisper_model_path=args.model_dir,
@@ -56,6 +66,9 @@ def cmd_transcribe(args) -> int:
         batch_size=args.batch,
         max_decode_tokens=args.max_tokens,
         resume_dir=args.resume_dir,
+        sequential_prompt=args.sequential_prompt,
+        long_form_seek=not args.no_seek,
+        mesh_shape=mesh_shape,
     )
     opts = TranscribeOptions(
         model=args.model,
