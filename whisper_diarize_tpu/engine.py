@@ -180,7 +180,12 @@ class Engine:
         return jnp.bfloat16 if jax.default_backend() in ("tpu",) else jnp.float32
 
     def _load_whisper(self, options: TranscribeOptions, progress, is_cancelled):
-        """Resolve + load the whisper checkpoint and tokenizer."""
+        """Resolve + load the whisper checkpoint and tokenizer.
+
+        Accepts an HF/native snapshot DIRECTORY, an OpenAI `.pt` file, or a
+        whisper.cpp GGML file (`ggml-{model}.bin` — the reference's format,
+        `model_manager.rs:162`; its embedded vocabulary builds the
+        tokenizer, so a single ggml file is self-sufficient)."""
         from .models import weights as weights_mod
         from .tokenizer import load_tokenizer
 
@@ -190,7 +195,30 @@ class Engine:
             snap = self.models.ensure_whisper_model(
                 options.model, progress, is_cancelled
             )
-        params, cfg = weights_mod.load_model(snap, dtype=self._resolve_dtype())
+        dtype = self._resolve_dtype()
+        if snap.is_file():
+            from .models import ggml as ggml_mod
+
+            with open(snap, "rb") as f:
+                magic = f.read(4)
+            import struct as _struct
+
+            if magic == _struct.pack("<i", ggml_mod.GGML_MAGIC):
+                params, cfg, vocab = ggml_mod.load_ggml(snap, dtype=dtype)
+                from .tokenizer import VocabTokenizer
+
+                tokenizer = VocabTokenizer(
+                    vocab, multilingual=cfg.multilingual,
+                    num_languages=cfg.num_languages,
+                )
+                return params, cfg, tokenizer
+            params, cfg = weights_mod.load_openai_pt(snap, dtype=dtype)
+            tokenizer = load_tokenizer(
+                None, multilingual=cfg.multilingual,
+                num_languages=cfg.num_languages,
+            )
+            return params, cfg, tokenizer
+        params, cfg = weights_mod.load_model(snap, dtype=dtype)
         tokenizer = load_tokenizer(
             str(snap), multilingual=cfg.multilingual, num_languages=cfg.num_languages
         )

@@ -204,6 +204,18 @@ def load_model(
     return params, cfg
 
 
+def _dims_to_config(dims: Dict[str, Any]) -> wm.WhisperConfig:
+    vocab = int(dims["n_vocab"])
+    return wm.WhisperConfig(
+        n_mels=int(dims["n_mels"]), n_vocab=vocab,
+        n_audio_ctx=int(dims["n_audio_ctx"]), n_audio_state=int(dims["n_audio_state"]),
+        n_audio_head=int(dims["n_audio_head"]), n_audio_layer=int(dims["n_audio_layer"]),
+        n_text_ctx=int(dims["n_text_ctx"]), n_text_state=int(dims["n_text_state"]),
+        n_text_head=int(dims["n_text_head"]), n_text_layer=int(dims["n_text_layer"]),
+        multilingual=vocab != 51864, num_languages=100 if vocab == 51866 else 99,
+    )
+
+
 def load_openai_pt(path, dtype=jnp.float32) -> Tuple[Dict[str, Any], wm.WhisperConfig]:
     """Load an original OpenAI whisper checkpoint (.pt: {"dims", "model_state_dict"}).
 
@@ -218,15 +230,15 @@ def load_openai_pt(path, dtype=jnp.float32) -> Tuple[Dict[str, Any], wm.WhisperC
     if not isinstance(dims, dict):
         dims = dims.__dict__
     sd = {k: v.numpy() for k, v in ckpt["model_state_dict"].items()}
-    vocab = int(dims["n_vocab"])
-    cfg = wm.WhisperConfig(
-        n_mels=int(dims["n_mels"]), n_vocab=vocab,
-        n_audio_ctx=int(dims["n_audio_ctx"]), n_audio_state=int(dims["n_audio_state"]),
-        n_audio_head=int(dims["n_audio_head"]), n_audio_layer=int(dims["n_audio_layer"]),
-        n_text_ctx=int(dims["n_text_ctx"]), n_text_state=int(dims["n_text_state"]),
-        n_text_head=int(dims["n_text_head"]), n_text_layer=int(dims["n_text_layer"]),
-        multilingual=vocab != 51864, num_languages=100 if vocab == 51866 else 99,
-    )
+    cfg = _dims_to_config(dims)
+    return convert_openai_params(sd, cfg, dtype), cfg
+
+
+def convert_openai_params(
+    sd: Dict[str, np.ndarray], cfg: wm.WhisperConfig, dtype=jnp.float32
+) -> Dict[str, Any]:
+    """OpenAI-named tensors (also used verbatim inside GGML files) ->
+    stacked pytree."""
 
     def g(name):
         return np.asarray(sd[name])
@@ -283,14 +295,20 @@ def load_openai_pt(path, dtype=jnp.float32) -> Tuple[Dict[str, Any], wm.WhisperC
         "fc2_w": stack(d + "mlp.2.weight", Ld, lin_w),
         "fc2_b": stack(d + "mlp.2.bias", Ld, g),
     }
+    # encoder positional sinusoids: buffer may be absent from the state
+    # dict (whisper.cpp can recompute them) — we recompute identically
+    if "encoder.positional_embedding" in sd:
+        enc_pos = g("encoder.positional_embedding")
+    else:
+        enc_pos = wm.sinusoids(cfg.n_audio_ctx, cfg.n_audio_state)
     params = {
         "encoder": {
             # torch conv [out, in, k] -> ours [k, in, out]
             "conv1_w": g("encoder.conv1.weight").transpose(2, 1, 0),
-            "conv1_b": g("encoder.conv1.bias"),
+            "conv1_b": g("encoder.conv1.bias").reshape(-1),
             "conv2_w": g("encoder.conv2.weight").transpose(2, 1, 0),
-            "conv2_b": g("encoder.conv2.bias"),
-            "pos": g("encoder.positional_embedding"),
+            "conv2_b": g("encoder.conv2.bias").reshape(-1),
+            "pos": enc_pos,
             "blocks": enc_blocks,
             "ln_post_s": g("encoder.ln_post.weight"),
             "ln_post_b": g("encoder.ln_post.bias"),
@@ -303,7 +321,7 @@ def load_openai_pt(path, dtype=jnp.float32) -> Tuple[Dict[str, Any], wm.WhisperC
             "ln_b": g("decoder.ln.bias"),
         },
     }
-    return jax.tree.map(lambda a: jnp.asarray(a, dtype), params), cfg
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
 
 
 def init_random_snapshot(

@@ -371,6 +371,89 @@ class DebugTokenizer:
         return []
 
 
+class VocabTokenizer:
+    """Tokenizer built from a raw id -> bytes table (the vocabulary embedded
+    in whisper.cpp GGML files — the reference's checkpoint format carries no
+    merges, `model_manager.rs:162`).
+
+    Decoding — what transcription needs — is exact. `encode` (used only to
+    tokenize prompt text for conditioning) is greedy longest-match over the
+    byte table; it may split differently from true BPE, which is harmless
+    for prompts. Interface-compatible with `WhisperTokenizer`.
+    """
+
+    def __init__(self, vocab: Sequence[bytes], multilingual: bool = True,
+                 num_languages: int = 99):
+        self.multilingual = multilingual
+        self.specials = specials_for(multilingual, num_languages)
+        self._table: List[bytes] = [bytes(v) for v in vocab]
+        self._lookup = {}
+        for i, b in enumerate(self._table):
+            self._lookup.setdefault(b, i)  # first id wins on duplicates
+        self._max_len = max((len(b) for b in self._table), default=1)
+
+    def encode(self, text: str) -> List[int]:
+        data = text.encode("utf-8")
+        ids: List[int] = []
+        i = 0
+        while i < len(data):
+            for ln in range(min(self._max_len, len(data) - i), 0, -1):
+                tid = self._lookup.get(data[i: i + ln])
+                if tid is not None:
+                    ids.append(tid)
+                    i += ln
+                    break
+            else:
+                i += 1  # unencodable byte: skip
+        return ids
+
+    def decode_token(self, token_id: int) -> str:
+        if 0 <= token_id < len(self._table):
+            return self._table[token_id].decode("utf-8", errors="replace")
+        return ""
+
+    def decode_tokens_bytes(self, ids: Sequence[int]) -> bytes:
+        return b"".join(
+            self._table[int(i)] for i in ids if 0 <= int(i) < len(self._table)
+        )
+
+    def decode(self, ids: Sequence[int], skip_special: bool = True) -> str:
+        text_ids = [
+            int(i) for i in ids
+            if not (skip_special and int(i) >= self.specials.eot)
+        ]
+        return self.decode_tokens_bytes(text_ids).decode("utf-8", errors="replace")
+
+    def sot_sequence(
+        self,
+        task: str = "transcribe",
+        language: Optional[str] = "en",
+        no_timestamps: bool = False,
+    ) -> List[int]:
+        sp = self.specials
+        seq = [sp.sot]
+        if self.multilingual:
+            seq.append(sp.language_token(language or "en"))
+            seq.append(sp.translate if task == "translate" else sp.transcribe)
+        if no_timestamps:
+            seq.append(sp.no_timestamps)
+        return seq
+
+    @property
+    def n_vocab(self) -> int:
+        return self.specials.n_vocab
+
+    def non_speech_tokens(self) -> List[int]:
+        symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
+        result = set()
+        for sym in symbols:
+            for tok in (sym, " " + sym):
+                tid = self._lookup.get(tok.encode("utf-8"))
+                if tid is not None:
+                    result.add(tid)
+        return sorted(result)
+
+
 def load_tokenizer(model_dir: Optional[str], multilingual: bool = True,
                    num_languages: int = 99):
     """Load the real tokenizer from a checkpoint dir when available, else the
