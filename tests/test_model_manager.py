@@ -53,6 +53,20 @@ def test_ensure_hub_file_layout_and_progress(tmp_path):
     assert events[-1][0] == 100
 
 
+def test_ensure_whisper_model_ggml(tmp_path):
+    """GGML route: downloads ggml-{model}.bin from ggerganov/whisper.cpp —
+    the reference's exact source (`model_manager.rs:162`) — and returns the
+    file path."""
+    dl, calls = make_fake_hub({})
+    mm = ModelManager(tmp_path, downloader=dl)
+    p = mm.ensure_whisper_model_ggml("base")
+    assert p.exists()
+    assert calls["downloads"] == [("ggerganov/whisper.cpp", "ggml-base.bin")]
+    # cached on second call
+    mm.ensure_whisper_model_ggml("base")
+    assert calls["n"] == 1
+
+
 def test_ensure_hub_file_cached_fast_path(tmp_path):
     dl, calls = make_fake_hub({})
     mm = ModelManager(tmp_path, downloader=dl)

@@ -382,6 +382,25 @@ class ModelManager:
         self._emit(progress, 100.0, label)
         return snap_dir
 
+    def ensure_whisper_model_ggml(
+        self,
+        model_name: str,
+        progress: Optional[LabeledProgressFn] = None,
+        is_cancelled: Optional[Callable[[], bool]] = None,
+    ) -> Path:
+        """Ensure the whisper.cpp GGML checkpoint — the reference's exact
+        source (`model_manager.rs:162`: HF repo `ggerganov/whisper.cpp`,
+        file `ggml-{model_name}.bin`). Returns the FILE path; the engine's
+        ggml loader consumes it directly (weights + embedded vocabulary)."""
+        if is_cancelled and is_cancelled():
+            self.cleanup_stale_locks()
+            raise DownloadCancelled(model_name)
+        return self.ensure_hub_file(
+            "ggerganov/whisper.cpp", f"ggml-{model_name}.bin",
+            progress, is_cancelled, 0.0, 100.0,
+            f"Downloading {model_name} model",
+        )
+
     def ensure_vad_model(
         self,
         progress: Optional[LabeledProgressFn] = None,
