@@ -60,7 +60,12 @@ def bench_config(model: str, *, beam: int = 1, diarize: bool = False,
         dec.build_suppress_mask(sp, cfg.n_vocab, extra_suppress=[sp.eot])
     )
     dc = dec.DecodeConfig(
-        max_tokens=DECODE_TOKENS, with_timestamps=True, beam_size=max(beam, 1)
+        max_tokens=DECODE_TOKENS, with_timestamps=True, beam_size=max(beam, 1),
+        # Pallas flash cross-attention (the decode bottleneck) on TPU
+        pallas_cross=(
+            jax.default_backend() == "tpu"
+            and os.environ.get("WDT_DISABLE_PALLAS_ATTN") != "1"
+        ),
     )
 
     rng = np.random.default_rng(0)

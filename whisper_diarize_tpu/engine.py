@@ -238,11 +238,20 @@ class Engine:
         from .tokenizer import DebugTokenizer
 
         blank_id = 32 if isinstance(tokenizer, DebugTokenizer) else 220
+        # Pallas flash cross-attention: ~1.7x on the decode bottleneck
+        # (`ops/pallas_attn.py`); TPU only — WDT_DISABLE_PALLAS_ATTN=1 opts out
+        import jax as _jax
+
+        pallas_cross = (
+            _jax.default_backend() == "tpu"
+            and os.environ.get("WDT_DISABLE_PALLAS_ATTN") != "1"
+        )
         dc = dec.DecodeConfig(
             beam_size=beam,
             temperature=temperature,
             max_tokens=self.cfg.max_decode_tokens,
             blank_id=blank_id,
+            pallas_cross=pallas_cross,
         )
         mesh = None
         if self.cfg.mesh_shape is not None:

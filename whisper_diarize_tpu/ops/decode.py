@@ -54,6 +54,9 @@ class DecodeConfig:
     length_penalty: Optional[float] = None  # None => avg logprob ranking
     blank_id: int = 220  # " " token ("Ġ" in the BPE vocab; 32 for DebugTokenizer)
     quantize_cross_kv: bool = False  # int8 cross-KV cache (halves decode HBM traffic)
+    # Pallas flash cross-attention for the decode loop (~1.7x on the decode
+    # bottleneck, `ops/pallas_attn.py`); auto-enabled on TPU by the Engine
+    pallas_cross: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -208,6 +211,8 @@ def greedy_init(
     cross_cache = wm.cross_kv(params, xa, cfg)
     if dc.quantize_cross_kv:
         cross_cache = wm.quantize_cross_kv(cross_cache)
+    elif dc.pallas_cross:
+        cross_cache = wm.tile_cross_cache(cross_cache)
     # size the KV cache to the decode budget (64-aligned): every step streams
     # the whole cache, so unused slots are pure HBM waste
     cache_len = min(cfg.n_text_ctx, -(-(prompt_len + max_steps + 1) // 64) * 64)
@@ -432,6 +437,9 @@ def beam_init(
     cross_cache = wm.cross_kv(params, xa, cfg)
     if dc.quantize_cross_kv:
         cross_cache = wm.quantize_cross_kv(cross_cache)
+    # NOTE: beam search keeps the plain layout — XLA's beam einsum already
+    # shares each stream's K/V across beams at the same bandwidth, and the
+    # kernel measured no win there (greedy: ~1.7x on the cross stream)
     cache_len = min(cfg.n_text_ctx, -(-(prompt_len + max_steps + 1) // 64) * 64)
     cache = wm.init_self_cache(cfg, N, xa.dtype, cache_len)
     row_pad_n = rep(row_pad)
