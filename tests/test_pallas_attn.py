@@ -62,6 +62,39 @@ def test_kernel_masks_padding_tail():
     np.testing.assert_allclose(out, base, atol=1e-5)
 
 
+def test_q8_kernel_matches_dequantized_reference():
+    """The int8 flash kernel must equal attention over the SAME quantized
+    values dequantized in XLA (quantization error itself is a separate,
+    opt-in accuracy tradeoff)."""
+    from whisper_diarize_tpu.ops.pallas_attn import (
+        cross_attn_layer_q8,
+        tile_quantize_cross_kv,
+    )
+
+    L, B, Q, H, Ta, Dh = 2, 2, 1, 4, 700, 64
+    rng = np.random.default_rng(3)
+    k = jnp.asarray(rng.standard_normal((L, B, H, Ta, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, B, H, Ta, Dh)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, Q, H, Dh)), jnp.float32)
+    k8, ks, v8, vs = tile_quantize_cross_kv(k, v)
+
+    out = np.asarray(cross_attn_layer_q8(
+        1, q, k8, ks, v8, vs, ta_total=Ta, interpret=INTERPRET
+    ))
+
+    # XLA reference over the dequantized tensors (same quantization)
+    def deq(p8, s):  # [L,B,NT,H,Dh,TT], [L,B,NT,H,TT] -> [L,B,H,Ta,Dh]
+        x = p8.astype(jnp.float32) * s[:, :, :, :, None, :]
+        Lx, Bx, NT, Hx, Dhx, TT = x.shape
+        x = jnp.transpose(x, (0, 1, 3, 4, 2, 5)).reshape(Lx, Bx, Hx, Dhx, NT * TT)
+        return jnp.transpose(x[..., :Ta], (0, 1, 2, 4, 3))
+
+    ref = np.asarray(_ref_layer(q, deq(k8, ks)[1], deq(v8, vs)[1], Dh ** -0.5))
+    # the kernel scales scores AFTER the int8 matmul (the reference scales
+    # the operands before) — same math, different f32 rounding order
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=2e-2)
+
+
 def test_greedy_decode_pallas_cross_matches_plain():
     """greedy_decode with the tiled Pallas cross path reproduces the plain
     XLA path (f32 CPU: identical sampled tokens, close logprobs)."""

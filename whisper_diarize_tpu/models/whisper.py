@@ -374,6 +374,17 @@ def tile_cross_cache(cc: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     return {"k5": k5, "v5": v5}
 
 
+def tile_quantize_cross_cache(cc: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """int8 variant of `tile_cross_cache`: per-position symmetric int8
+    payloads + f32 scales in the pre-tiled kernel layout. The flash kernel
+    dequantizes in VMEM, so the per-step HBM stream drops to ~55% of bf16
+    (`ops/pallas_attn.py::cross_attn_layer_q8`)."""
+    from ..ops.pallas_attn import tile_quantize_cross_kv
+
+    k8, ks, v8, vs = tile_quantize_cross_kv(cc["k"], cc["v"])
+    return {"k8": k8, "ks": ks, "v8": v8, "vs": vs}
+
+
 @functools.lru_cache(maxsize=1)
 def _pallas_interpret() -> bool:
     # CPU tests run the kernel in interpreter mode; TPU runs it compiled
@@ -470,11 +481,12 @@ def decode_step(
         mask = mask[:, None]  # [N, 1, S, Tc] broadcast over heads
 
     quantized = "k_q" in cross_cache
-    tiled = "k5" in cross_cache  # Pallas flash-decode layout
+    tiled = "k5" in cross_cache  # Pallas flash-decode layout (bf16)
+    tiled_q8 = "k8" in cross_cache  # Pallas flash-decode layout (int8)
     # the kernel serves the hot single-token steps; prefill (S > 1, once per
     # window) would overflow VMEM at beams x prompt queries — it runs as an
     # XLA einsum directly over the tiled layout instead
-    use_kernel = tiled and S == 1
+    use_kernel = (tiled or tiled_q8) and S == 1
 
     def _cross_tiled_einsum(cq: jnp.ndarray, k5l, v5l) -> jnp.ndarray:
         """cq [N, H, S, Dh] vs layer-sliced tiled K/V [B, NT, H, Dh, TT]."""
@@ -505,16 +517,24 @@ def decode_step(
         """cq [N, H, S, Dh] -> cross attention via the flash kernel, folding
         beams x positions into the kernel's query axis (cross attention has
         no causal mask)."""
-        from ..ops.pallas_attn import cross_attn_layer
+        from ..ops.pallas_attn import cross_attn_layer, cross_attn_layer_q8
 
         Nb, Hh, Sq, Dh = cq.shape
         Bb = Nb // beams
         qf = cq.reshape(Bb, beams, Hh, Sq, Dh)
         qf = jnp.transpose(qf, (0, 1, 3, 2, 4)).reshape(Bb, beams * Sq, Hh, Dh)
-        out = cross_attn_layer(
-            layer_idx, qf, cross_cache["k5"], cross_cache["v5"],
-            ta_total=cfg.n_audio_ctx, interpret=_pallas_interpret(),
-        )
+        if tiled_q8:
+            out = cross_attn_layer_q8(
+                layer_idx, qf,
+                cross_cache["k8"], cross_cache["ks"],
+                cross_cache["v8"], cross_cache["vs"],
+                ta_total=cfg.n_audio_ctx, interpret=_pallas_interpret(),
+            )
+        else:
+            out = cross_attn_layer(
+                layer_idx, qf, cross_cache["k5"], cross_cache["v5"],
+                ta_total=cfg.n_audio_ctx, interpret=_pallas_interpret(),
+            )
         out = out.reshape(Bb, beams, Sq, Hh, Dh)
         return jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(Nb, Hh, Sq, Dh)
 
@@ -543,6 +563,10 @@ def decode_step(
             cross_out = _cross_pallas(cq, layer_idx)
         elif tiled:
             cross_out = _cross_tiled_einsum(cq, ck, cv)
+        elif tiled_q8:  # prefill over the int8 layout: dequant this layer
+            k5l = ck[0].astype(dtype) * ck[1][:, :, :, None, :].astype(dtype)
+            v5l = cv[0].astype(dtype) * cv[1][:, :, :, None, :].astype(dtype)
+            cross_out = _cross_tiled_einsum(cq, k5l, v5l)
         elif beams == 1:
             cross_out = _attn(cq, ck, cv)
         else:
@@ -582,6 +606,9 @@ def decode_step(
         cross_v = jnp.zeros((L,), dtype)
     elif tiled:  # prefill: scan slices the tiled layout, einsum fuses it
         cross_k, cross_v = cross_cache["k5"], cross_cache["v5"]
+    elif tiled_q8:
+        cross_k = (cross_cache["k8"], cross_cache["ks"])
+        cross_v = (cross_cache["v8"], cross_cache["vs"])
     else:
         cross_k, cross_v = cross_cache["k"], cross_cache["v"]
     (x,), (k_caches, v_caches) = jax.lax.scan(

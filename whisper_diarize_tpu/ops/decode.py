@@ -209,7 +209,11 @@ def greedy_init(
         row_pad = jnp.zeros((B,), jnp.int32)
 
     cross_cache = wm.cross_kv(params, xa, cfg)
-    if dc.quantize_cross_kv:
+    if dc.pallas_cross and dc.quantize_cross_kv:
+        # int8 payloads dequantized INSIDE the flash kernel (~55% of the
+        # bf16 stream); without the kernel, int8 stays a memory-only option
+        cross_cache = wm.tile_quantize_cross_cache(cross_cache)
+    elif dc.quantize_cross_kv:
         cross_cache = wm.quantize_cross_kv(cross_cache)
     elif dc.pallas_cross:
         cross_cache = wm.tile_cross_cache(cross_cache)

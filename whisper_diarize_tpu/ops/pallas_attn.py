@@ -128,6 +128,143 @@ def cross_attn_layer(
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), q, k5, v5)
 
 
+def _flash_kernel_q8(ta_total: int, scale: float, t_tile: int,
+                     l_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+                     m_ref, l2_ref, acc_ref):
+    """int8 K/V variant: payloads dequantize IN VMEM (the fusion XLA cannot
+    do — an XLA dequant materializes full bf16 copies in HBM). Scales fold
+    algebraically: scores scale per key position after the matmul, and the
+    value scale folds into the probabilities before the pv matmul, so the
+    MXU never sees a dequantized array."""
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l2_ref[:] = jnp.zeros_like(l2_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [Q, H, Dh]
+    k8 = k_ref[0, 0, 0]  # [H, Dh, T] int8
+    ks = ks_ref[0, 0, 0]  # [H, T] f32
+    v8 = v_ref[0, 0, 0]  # [H, Dh, T] int8
+    vs = vs_ref[0, 0, 0]  # [H, T] f32
+
+    qh = jnp.transpose(q.astype(jnp.float32), (1, 0, 2)) * scale  # [H, Q, Dh]
+    s = jax.lax.dot_general(
+        qh.astype(jnp.bfloat16), k8.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, Q, T]
+    s = s * ks[:, None, :]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+    s = jnp.where((t * t_tile + col) < ta_total, s, -jnp.inf)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new[:, :, None])
+    l2_ref[:] = l2_ref[:] * alpha + jnp.sum(p, axis=-1)
+    pv = jax.lax.dot_general(
+        (p * vs[:, None, :]).astype(jnp.bfloat16), v8.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * alpha[:, :, None] + pv
+    m_ref[:] = m_new
+
+    @pl.when(t == n_t - 1)
+    def _():
+        out = acc_ref[:] / l2_ref[:][:, :, None]
+        o_ref[0] = jnp.transpose(out, (1, 0, 2)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ta_total"))
+def cross_attn_layer_q8(
+    layer_idx: jnp.ndarray,
+    q: jnp.ndarray,  # [B, Q, H, Dh]
+    k8: jnp.ndarray,  # [L, B, NT, H, Dh, TT] int8
+    ks: jnp.ndarray,  # [L, B, NT, H, TT] f32 per-position key scales
+    v8: jnp.ndarray,  # [L, B, NT, H, Dh, TT] int8
+    vs: jnp.ndarray,  # [L, B, NT, H, TT] f32 per-position value scales
+    ta_total: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, Q, H, Dh = q.shape
+    L, _, NT, _, _, TT = k8.shape
+    if ta_total is None:
+        ta_total = NT * TT
+    scale = float(Dh) ** -0.5
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NT),
+        in_specs=[
+            pl.BlockSpec((1, Q, H, Dh), lambda b, t, l: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, H, Dh, TT),
+                         lambda b, t, l: (l[0], b, t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, H, TT),
+                         lambda b, t, l: (l[0], b, t, 0, 0)),
+            pl.BlockSpec((1, 1, 1, H, Dh, TT),
+                         lambda b, t, l: (l[0], b, t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, H, TT),
+                         lambda b, t, l: (l[0], b, t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Q, H, Dh), lambda b, t, l: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((H, Q), jnp.float32),
+            pltpu.VMEM((H, Q), jnp.float32),
+            pltpu.VMEM((H, Q, Dh), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_flash_kernel_q8, int(ta_total), scale, TT),
+        out_shape=jax.ShapeDtypeStruct((B, Q, H, Dh), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), q, k8, ks, v8, vs)
+
+
+def tile_quantize_cross_kv(k: jnp.ndarray, v: jnp.ndarray,
+                           t_tile: int = T_TILE):
+    """[L, B, H, Ta, Dh] K/V -> int8 pre-tiled payloads + per-position scales
+    for `cross_attn_layer_q8`: (k8, ks, v8, vs). Symmetric per-position
+    quantization over Dh (`models/whisper.py::quantize_cross_kv` semantics);
+    HBM stream per step drops to ~55% of the bf16 tiled layout."""
+    def q8(x):
+        s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        s = jnp.maximum(s, 1e-8) / 127.0
+        payload = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s), -127, 127
+        ).astype(jnp.int8)
+        return payload, s[..., 0]  # [L,B,H,Ta,Dh] int8, [L,B,H,Ta] f32
+
+    def tile_payload(x):
+        L, B, H, Ta, Dh = x.shape
+        nt = cdiv(Ta, t_tile)
+        pad = nt * t_tile - Ta
+        xt = jnp.transpose(x, (0, 1, 2, 4, 3))
+        if pad:
+            xt = jnp.pad(xt, ((0, 0),) * 4 + ((0, pad),))
+        xt = xt.reshape(L, B, H, Dh, nt, t_tile)
+        return jnp.transpose(xt, (0, 1, 4, 2, 3, 5))
+
+    def tile_scale(s):
+        L, B, H, Ta = s.shape
+        nt = cdiv(Ta, t_tile)
+        pad = nt * t_tile - Ta
+        if pad:
+            s = jnp.pad(s, ((0, 0),) * 3 + ((0, pad),))
+        s = s.reshape(L, B, H, nt, t_tile)
+        return jnp.transpose(s, (0, 1, 3, 2, 4))  # [L, B, NT, H, TT]
+
+    kq, ksc = q8(k)
+    vq, vsc = q8(v)
+    return tile_payload(kq), tile_scale(ksc), tile_payload(vq), tile_scale(vsc)
+
+
 def tile_cross_kv(k: jnp.ndarray, v: jnp.ndarray, t_tile: int = T_TILE):
     """[L, B, H, Ta, Dh] K/V -> pre-tiled [L, B, NT, H, Dh, t_tile] pair.
 
