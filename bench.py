@@ -167,9 +167,31 @@ ROWS = {
 def main() -> None:
     want = os.environ.get("WDT_BENCH_ROWS", "1,2,3,4")
     ids = [int(s) for s in want.split(",") if s.strip()]
+    if len(ids) == 1:
+        row = bench_config(**ROWS[ids[0]])
+        print(json.dumps({**row, "rows": [row]}))
+        return
+    # one subprocess per row: a fresh backend per config — rows measured
+    # back-to-back in one process read ~20% low (HBM fragmentation after
+    # the large-v3 rows / leftover executables)
+    import subprocess
+    import sys
+
     rows = []
     for rid in ids:
-        rows.append(bench_config(**ROWS[rid]))
+        env = dict(os.environ, WDT_BENCH_ROWS=str(rid))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env,
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        try:
+            rows.append({k: v for k, v in json.loads(line).items() if k != "rows"})
+        except (ValueError, IndexError):
+            rows.append({
+                "metric": f"row {rid} FAILED",
+                "value": 0.0, "unit": "x realtime", "vs_baseline": 0.0,
+            })
     head = rows[0]
     print(json.dumps({**head, "rows": rows}))
 

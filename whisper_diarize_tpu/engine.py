@@ -242,8 +242,11 @@ class Engine:
         # (`ops/pallas_attn.py`); TPU only — WDT_DISABLE_PALLAS_ATTN=1 opts out
         import jax as _jax
 
+        # (disabled under mesh_shape: a pallas_call inside a GSPMD-sharded
+        # jit needs shard_map plumbing — future work; XLA path shards fine)
         pallas_cross = (
             _jax.default_backend() == "tpu"
+            and self.cfg.mesh_shape is None
             and os.environ.get("WDT_DISABLE_PALLAS_ATTN") != "1"
         )
         dc = dec.DecodeConfig(
