@@ -120,3 +120,38 @@ def test_encoder_compact_probs_accuracy(params):
     err = float(jnp.abs(ref - out).max())
     scale = float(jnp.abs(ref).max())
     assert err < 0.1 * scale, (err, scale)
+
+
+def test_decode_step_unroll_parity(params, xa):
+    """The unrolled layer driver (static weight slices, used on the TPU
+    sampling hot path) must be numerically identical to the lax.scan path
+    — plain cross cache, row-padded prompts, and beam-folded batches."""
+    cfg = TINY_TEST_CFG
+    cc = wm.cross_kv(params, xa, cfg)
+    B = xa.shape[0]
+
+    # plain S=1
+    cache0 = wm.init_self_cache(cfg, B, xa.dtype, 64)
+    tok = jnp.asarray([[11], [13]], jnp.int32)
+    for extra in (dict(), dict(row_pad=jnp.asarray([0, 2], jnp.int32))):
+        l_s, c_s = wm.decode_step(
+            params, cfg, tok, jnp.int32(3), cache0, cc, **extra)
+        l_u, c_u = wm.decode_step(
+            params, cfg, tok, jnp.int32(3), cache0, cc, unroll=True, **extra)
+        np.testing.assert_allclose(
+            np.asarray(l_s), np.asarray(l_u), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(c_s["k"]), np.asarray(c_u["k"]), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(c_s["v"]), np.asarray(c_u["v"]), rtol=1e-6, atol=1e-6)
+
+    # beam-folded rows sharing each stream's cross K/V
+    K = 2
+    cacheb = wm.init_self_cache(cfg, B * K, xa.dtype, 64)
+    tokb = jnp.asarray([[11], [13], [17], [19]], jnp.int32)
+    l_s, _ = wm.decode_step(
+        params, cfg, tokb, jnp.int32(0), cacheb, cc, beams=K)
+    l_u, _ = wm.decode_step(
+        params, cfg, tokb, jnp.int32(0), cacheb, cc, beams=K, unroll=True)
+    np.testing.assert_allclose(
+        np.asarray(l_s), np.asarray(l_u), rtol=1e-6, atol=1e-6)

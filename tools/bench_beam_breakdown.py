@@ -1,0 +1,175 @@
+"""Beam-5 decode breakdown (large-v3 b16): attribute the beam/greedy gap.
+
+Each part runs in its own process (16 GB HBM cannot hold the beam state
+twice): WDT_PART selects run|model|gather|topk; no value runs all four as
+subprocesses.
+
+  run      full beam_run loop slope between budgets 32/64 (fresh beam_init
+           per call — beam_run donates its state)
+  model    bare decode_step at N=B*K with shared cross (beams=5)
+  gather   the per-step KV-cache reindex jax.tree.map(a[:, perm], cache)
+  topk     lax.top_k over [B, K*V] for 2K candidates
+
+Run: python tools/bench_beam_breakdown.py [model]
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_diarize_tpu.models import whisper as wm
+from whisper_diarize_tpu.ops import decode as dec
+from whisper_diarize_tpu.tokenizer import DebugTokenizer
+
+B = 16
+K = 5
+STEPS = 64
+
+
+def best_of(f, n=4):
+    np.asarray(f())
+    best = np.inf
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(f())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def slope(f32, f64):
+    t32 = best_of(f32)
+    t64 = best_of(f64)
+    return t64, (t64 - t32) / 32
+
+
+def main() -> None:
+    model = sys.argv[1] if len(sys.argv) > 1 else "large-v3"
+    part = os.environ.get("WDT_PART")
+    if part is None:
+        import subprocess
+        for p in ("run", "model", "gather", "topk"):
+            env = dict(os.environ, WDT_PART=p)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), model],
+                capture_output=True, text=True, env=env,
+            )
+            line = out.stdout.strip().splitlines()
+            print(line[-1] if line else f"{p}: FAILED\n{out.stderr[-400:]}")
+        return
+
+    cfg = wm.PRESETS[model]
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    tk = DebugTokenizer(num_languages=cfg.num_languages)
+    sp = tk.specials
+    N = B * K
+    V = cfg.n_vocab
+    rng = np.random.default_rng(0)
+
+    if part == "gather":
+        cache = wm.init_self_cache(cfg, N, dtype, 128)
+
+        @functools.partial(jax.jit, static_argnames=("budget",))
+        def gather_loop(cache, budget):
+            def body(s):
+                step, c = s
+                base = jnp.arange(N, dtype=jnp.int32)
+                rot = step + c["k"][0, 0, 0, 0, 0].astype(jnp.int32) % 1
+                perm = (base // K) * K + (base + rot) % K
+                c = jax.tree.map(lambda a: a[:, perm], c)
+                return step + 1, c
+
+            _, c = jax.lax.while_loop(
+                lambda s: s[0] < budget, body, (jnp.int32(0), cache))
+            return c["k"][0, 0, 0, 0, :1]
+
+        t64, sl = slope(lambda: gather_loop(cache, budget=32),
+                        lambda: gather_loop(cache, budget=64))
+        print(f"gather       {t64*1e3:8.1f} ms  ({sl*1e3:6.3f} ms/step slope)")
+        return
+
+    if part == "topk":
+        logits0 = jnp.asarray(rng.standard_normal((N, V)).astype(np.float32))
+
+        @functools.partial(jax.jit, static_argnames=("budget",))
+        def topk_loop(logits, budget):
+            def body(s):
+                step, l, acc = s
+                cand = l.reshape(B, K * V)
+                topv, topi = jax.lax.top_k(cand, 2 * K)
+                return (step + 1, l.at[:, 0].add(topv[0, 0] * 1e-9),
+                        acc + topv[0, 0])
+
+            _, _, acc = jax.lax.while_loop(
+                lambda s: s[0] < budget, body, (jnp.int32(0), logits, 0.0))
+            return acc.reshape(1)
+
+        t64, sl = slope(lambda: topk_loop(logits0, budget=32),
+                        lambda: topk_loop(logits0, budget=64))
+        print(f"topk         {t64*1e3:8.1f} ms  ({sl*1e3:6.3f} ms/step slope)")
+        return
+
+    params = wm.init_params_fast(cfg, dtype=dtype)
+    dc = dec.DecodeConfig(
+        max_tokens=STEPS, with_timestamps=True, beam_size=K,
+        pallas_cross=jax.default_backend() == "tpu",
+    )
+    suppress = jnp.asarray(
+        dec.build_suppress_mask(sp, V, extra_suppress=[sp.eot]))
+    xa = jnp.asarray(
+        rng.standard_normal((B, cfg.n_audio_ctx, cfg.n_audio_state))
+        .astype(np.float32) * 0.05, dtype)
+    prompt = jnp.asarray(
+        np.tile(np.array(tk.sot_sequence(language="en"), np.int32), (B, 1)))
+    P = prompt.shape[1]
+
+    if part == "model":
+        state = dec.beam_init(params, cfg, dc, sp, xa, prompt, P,
+                              suppress_mask=suppress)
+        c0, x0 = state["cache"], state["cross"]
+        del state
+
+        @functools.partial(jax.jit, static_argnames=("budget",))
+        def model_n(p, cache, cross, budget):
+            tok = jnp.full((N, 1), 100, jnp.int32)
+
+            def body(s):
+                step, cache, acc = s
+                logits, cache = wm.decode_step(
+                    p, cfg, tok, P + step, cache, cross, beams=K,
+                    unroll=dec._resolve_unroll(dc),
+                )
+                return step + 1, cache, acc + logits[:, 0, 0]
+
+            _, _, acc = jax.lax.while_loop(
+                lambda s: s[0] < budget, body,
+                (jnp.int32(0), cache, jnp.zeros(N)))
+            return acc[:1]
+
+        t64, sl = slope(lambda: model_n(params, c0, x0, budget=32),
+                        lambda: model_n(params, c0, x0, budget=64))
+        print(f"model_N{N}    {t64*1e3:8.1f} ms  ({sl*1e3:6.3f} ms/step slope)")
+        return
+
+    # part == "run": fresh init per call (beam_run donates its state); the
+    # init cost is constant across budgets, the slope cancels it
+    def run(budget):
+        st = dec.beam_init(params, cfg, dc, sp, xa, prompt, P,
+                           suppress_mask=suppress)
+        return dec.beam_run(
+            params, cfg, dc, sp, st, suppress, P, jnp.int32(budget)
+        )["tokens"][0, :2]
+
+    t64, sl = slope(lambda: run(32), lambda: run(64))
+    print(f"beam_run     {t64*1e3:8.1f} ms incl. init  "
+          f"({sl*1e3:6.3f} ms/step slope)")
+
+
+if __name__ == "__main__":
+    main()

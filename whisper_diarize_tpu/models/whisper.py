@@ -428,6 +428,7 @@ def decode_step(
     cross_cache: Dict[str, jnp.ndarray],
     beams: int = 1,
     row_pad: Optional[jnp.ndarray] = None,  # [N] int32 left-pad per row
+    unroll: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Run S tokens through the decoder against a fixed-size KV cache.
 
@@ -445,6 +446,16 @@ def decode_step(
     filler tokens. Padded slots are masked out of self-attention and the
     row's position indices shift down by its pad, so each row computes
     exactly what a lone decode with its unpadded prompt would.
+
+    `unroll=True` replaces the `lax.scan` over layers with a Python loop
+    indexing the stacked weights with STATIC slices. The scan's dynamic
+    per-layer slice forces XLA to materialize every layer's weights into a
+    fresh buffer each step (an extra write+read of the full decoder weight
+    set, ~1.7 GB/step on large-v3 — measured 13.1 -> 10.5 ms/step unrolled,
+    `tools/bench_layer_variants.py`). Unrolling multiplies compile time by
+    ~L, so it is reserved for the TPU decode hot path (DecodeConfig resolves
+    it per backend); numerics are identical to the scan path
+    (`tests/test_whisper_model.py::test_decode_step_unroll_parity`).
     """
     dec = params["decoder"]
     dtype = dec["tok_emb"].dtype
@@ -538,23 +549,20 @@ def decode_step(
         out = out.reshape(Bb, beams, Sq, Hh, Dh)
         return jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(Nb, Hh, Sq, Dh)
 
-    def layer(carry, blk_and_cross):
-        x, = carry
-        blk, ck, cv, layer_idx = blk_and_cross
-        if quantized:
-            ck = _dequant(ck[0], ck[1], dtype)
-            cv = _dequant(cv[0], cv[1], dtype)
+    def _qkv(x, blk):
+        """Self-attention projections for one layer."""
         h = _ln(x, blk["ln1_s"], blk["ln1_b"])
         q = _heads(h @ blk["q_w"] + blk["q_b"], H)
         k_new = _heads(h @ blk["k_w"], H)
         v_new = _heads(h @ blk["v_w"] + blk["v_b"], H)
-        # write new K/V into this layer's cache slice at pos_offset
-        k_cache = jax.lax.dynamic_update_slice(
-            blk["k_cache"], k_new, (0, 0, pos_offset, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            blk["v_cache"], v_new, (0, 0, pos_offset, 0)
-        )
+        return q, k_new, v_new
+
+    def _rest(x, blk, q, k_cache, v_cache, ck, cv, layer_idx):
+        """Self-attention (over the already-updated cache), cross-attention
+        and MLP for one layer — shared by the scan and unrolled drivers."""
+        if quantized:
+            ck = _dequant(ck[0], ck[1], dtype)
+            cv = _dequant(cv[0], cv[1], dtype)
         x = x + _unheads(_attn(q, k_cache, v_cache, mask)) @ blk["o_w"] + blk["o_b"]
         # cross-attention against the precomputed audio K/V
         h = _ln(x, blk["ln2_s"], blk["ln2_b"])
@@ -589,36 +597,80 @@ def decode_step(
         h = _ln(x, blk["ln3_s"], blk["ln3_b"])
         h = jax.nn.gelu(h @ blk["fc1_w"] + blk["fc1_b"])
         x = x + h @ blk["fc2_w"] + blk["fc2_b"]
-        return (x,), (k_cache, v_cache)
+        return x
 
-    blocks = dict(dec["blocks"])
-    blocks["k_cache"] = self_cache["k"]
-    blocks["v_cache"] = self_cache["v"]
     L = cfg.n_text_layer
-    if quantized:
-        cross_k = (cross_cache["k_q"], cross_cache["k_s"])
-        cross_v = (cross_cache["v_q"], cross_cache["v_s"])
-    elif use_kernel:
-        # the kernel indexes the FULL tiled cache by layer via scalar
-        # prefetch (an XLA-side layer slice would copy the cache every step);
-        # feed tiny placeholders through the scan
-        cross_k = jnp.zeros((L,), dtype)
-        cross_v = jnp.zeros((L,), dtype)
-    elif tiled:  # prefill: scan slices the tiled layout, einsum fuses it
-        cross_k, cross_v = cross_cache["k5"], cross_cache["v5"]
-    elif tiled_q8:
-        cross_k = (cross_cache["k8"], cross_cache["ks"])
-        cross_v = (cross_cache["v8"], cross_cache["vs"])
+    if unroll:
+        # static per-layer weight slices read in place; the tiny new K/V row
+        # is written straight into the full stacked cache (40 KB, vs the
+        # scan's full-slice ys write)
+        kc, vc = self_cache["k"], self_cache["v"]
+        for l in range(L):
+            blk = jax.tree.map(lambda a: a[l], dec["blocks"])
+            q, k_new, v_new = _qkv(x, blk)
+            kc = jax.lax.dynamic_update_slice(
+                kc, k_new[None], (l, 0, 0, pos_offset, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, v_new[None], (l, 0, 0, pos_offset, 0))
+            if quantized:
+                ck = (cross_cache["k_q"][l], cross_cache["k_s"][l])
+                cv = (cross_cache["v_q"][l], cross_cache["v_s"][l])
+            elif use_kernel:
+                ck = cv = None  # the kernel indexes the full cache by layer
+            elif tiled:
+                ck, cv = cross_cache["k5"][l], cross_cache["v5"][l]
+            elif tiled_q8:
+                ck = (cross_cache["k8"][l], cross_cache["ks"][l])
+                cv = (cross_cache["v8"][l], cross_cache["vs"][l])
+            else:
+                ck, cv = cross_cache["k"][l], cross_cache["v"][l]
+            x = _rest(x, blk, q, kc[l], vc[l], ck, cv, jnp.int32(l))
+        new_cache = {"k": kc, "v": vc}
     else:
-        cross_k, cross_v = cross_cache["k"], cross_cache["v"]
-    (x,), (k_caches, v_caches) = jax.lax.scan(
-        layer, (x,), (blocks, cross_k, cross_v, jnp.arange(L))
-    )
+        def layer(carry, blk_and_cross):
+            x, = carry
+            blk, ck, cv, layer_idx = blk_and_cross
+            q, k_new, v_new = _qkv(x, blk)
+            # write new K/V into this layer's cache slice at pos_offset
+            k_cache = jax.lax.dynamic_update_slice(
+                blk["k_cache"], k_new, (0, 0, pos_offset, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                blk["v_cache"], v_new, (0, 0, pos_offset, 0)
+            )
+            x = _rest(x, blk, q, k_cache, v_cache, ck, cv, layer_idx)
+            return (x,), (k_cache, v_cache)
+
+        blocks = dict(dec["blocks"])
+        blocks["k_cache"] = self_cache["k"]
+        blocks["v_cache"] = self_cache["v"]
+        if quantized:
+            cross_k = (cross_cache["k_q"], cross_cache["k_s"])
+            cross_v = (cross_cache["v_q"], cross_cache["v_s"])
+        elif use_kernel:
+            # the kernel indexes the FULL tiled cache by layer via scalar
+            # prefetch (an XLA-side layer slice would copy the cache every
+            # step); feed tiny placeholders through the scan
+            cross_k = jnp.zeros((L,), dtype)
+            cross_v = jnp.zeros((L,), dtype)
+        elif tiled:  # prefill: scan slices the tiled layout, einsum fuses it
+            cross_k, cross_v = cross_cache["k5"], cross_cache["v5"]
+        elif tiled_q8:
+            cross_k = (cross_cache["k8"], cross_cache["ks"])
+            cross_v = (cross_cache["v8"], cross_cache["vs"])
+        else:
+            cross_k, cross_v = cross_cache["k"], cross_cache["v"]
+        (x,), (k_caches, v_caches) = jax.lax.scan(
+            layer, (x,), (blocks, cross_k, cross_v, jnp.arange(L))
+        )
+        new_cache = {"k": k_caches, "v": v_caches}
     x = _ln(x, dec["ln_s"], dec["ln_b"])
     logits = jnp.einsum(
         "bsd,vd->bsv", x, dec["tok_emb"], preferred_element_type=jnp.float32
     )
-    return logits, {"k": k_caches, "v": v_caches}
+    return logits, new_cache
+
+
 
 
 def decoder_forward_nocache(

@@ -40,6 +40,15 @@ from ..tokenizer import SpecialTokens
 NEG_INF = float("-inf")
 
 
+def _resolve_unroll(dc: "DecodeConfig") -> bool:
+    """Unrolled decoder layers for the sampling step: explicit knob wins,
+    else on for the TPU backend only (CPU tests keep the cheap-to-compile
+    scan; numerics are identical)."""
+    if dc.unroll_layers is not None:
+        return dc.unroll_layers
+    return jax.default_backend() == "tpu"
+
+
 @dataclasses.dataclass(frozen=True)
 class DecodeConfig:
     """Static decode configuration (hashable: used as a jit static arg)."""
@@ -57,6 +66,13 @@ class DecodeConfig:
     # Pallas flash cross-attention for the decode loop (~1.7x on the decode
     # bottleneck, `ops/pallas_attn.py`); auto-enabled on TPU by the Engine
     pallas_cross: bool = False
+    # Unroll the decoder layer loop in the SAMPLING step (None = auto: on
+    # for TPU). The lax.scan over stacked layers re-materializes every
+    # layer's weights each step (~+1.7 GB/step HBM on large-v3; 13.1 ->
+    # 10.5 ms/step unrolled). Prefill keeps the scan: it runs once per
+    # window and unrolling would multiply compile time across the prompt
+    # padding buckets.
+    unroll_layers: Optional[bool] = None
 
 
 @jax.tree_util.register_dataclass
@@ -253,7 +269,8 @@ def greedy_init(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "dc", "sp", "prompt_len")
+    jax.jit, static_argnames=("cfg", "dc", "sp", "prompt_len"),
+    donate_argnames=("state",),
 )
 def greedy_run(
     params: Dict[str, Any],
@@ -265,7 +282,13 @@ def greedy_run(
     prompt_len: int,
     budget: jnp.ndarray,  # scalar int32: stop once step reaches this
 ) -> Dict[str, Any]:
-    """Advance the greedy sampling loop up to `budget` total steps."""
+    """Advance the greedy sampling loop up to `budget` total steps.
+
+    `state` is DONATED: callers must chain (`state = greedy_run(.., state, ..)`)
+    and never touch the old pytree again. Without donation XLA copies the
+    tiled cross cache at entry (no input/output aliasing) — 2 x 3.9 GB
+    (~11 ms) per call on large-v3 b16.
+    """
     sp_ts_begin = sp.timestamp_begin
     max_steps = min(dc.max_tokens, cfg.n_text_ctx - prompt_len - 1)
     cross_cache = state["cross"]
@@ -334,7 +357,7 @@ def greedy_run(
         step_logits, new_cache = wm.decode_step(
             params, cfg, next_tok[:, None],
             prompt_len + s["step"], s["cache"], cross_cache,
-            row_pad=s["row_pad"],
+            row_pad=s["row_pad"], unroll=_resolve_unroll(dc),
         )
         new_state["cache"] = new_cache
         new_state["logits"] = step_logits[:, 0]
@@ -487,7 +510,10 @@ def beam_init(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "dc", "sp", "prompt_len"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "dc", "sp", "prompt_len"),
+    donate_argnames=("state",),
+)
 def beam_run(
     params: Dict[str, Any],
     cfg: wm.WhisperConfig,
@@ -498,7 +524,11 @@ def beam_run(
     prompt_len: int,
     budget: jnp.ndarray,  # scalar int32
 ) -> Dict[str, Any]:
-    """Advance the beam-search loop up to `budget` total steps."""
+    """Advance the beam-search loop up to `budget` total steps.
+
+    `state` is DONATED (chain calls, never reuse the old pytree) — see
+    `greedy_run`: avoids entry copies of the shared cross cache.
+    """
     B, K, _ = state["fin_tokens"].shape
     V = cfg.n_vocab
     N = B * K
@@ -592,6 +622,7 @@ def beam_run(
         step_logits, cache = wm.decode_step(
             params, cfg, new_tok[:, None], prompt_len + s["step"], cache,
             cross_cache, beams=K, row_pad=s["row_pad"],
+            unroll=_resolve_unroll(dc),
         )
 
         return dict(
