@@ -155,3 +155,62 @@ def test_decode_step_unroll_parity(params, xa):
         params, cfg, tokb, jnp.int32(0), cacheb, cc, beams=K, unroll=True)
     np.testing.assert_allclose(
         np.asarray(l_s), np.asarray(l_u), rtol=1e-6, atol=1e-6)
+
+
+def test_decode_step_split_parity(params, xa):
+    """Beam sampling against the split prompt/decode cache must match the
+    fused-cache decode_step exactly, including after a beam reindex."""
+    cfg = TINY_TEST_CFG
+    cc = wm.cross_kv(params, xa, cfg)
+    B = xa.shape[0]
+    K = 2
+    N = B * K
+    P = 4
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(10, 200, (B, P)), jnp.int32)
+    row_pad = jnp.asarray([1, 0], jnp.int32)
+    row_pad_n = jnp.repeat(row_pad, K, axis=0)
+
+    # fused reference: replicated prefill + combined cache
+    cache_f = wm.init_self_cache(cfg, N, xa.dtype, P + 16)
+    lf, cache_f = wm.decode_step(
+        params, cfg, jnp.repeat(prompt, K, axis=0), jnp.int32(0), cache_f,
+        cc, beams=K, row_pad=row_pad_n)
+
+    # split: per-stream prefill + empty decode half
+    pcache = wm.init_self_cache(cfg, B, xa.dtype, P)
+    ls, pcache = wm.decode_step(
+        params, cfg, prompt, jnp.int32(0), pcache, cc, row_pad=row_pad)
+    dcache = wm.init_split_decode_cache(cfg, N, xa.dtype, 16)
+    np.testing.assert_allclose(
+        np.asarray(jnp.repeat(ls[:, -1], K, axis=0)), np.asarray(lf[:, -1]),
+        rtol=1e-5, atol=1e-5)
+
+    toks = [jnp.asarray(rng.integers(10, 200, (N, 1)), jnp.int32)
+            for _ in range(3)]
+    perm = jnp.asarray([1, 0, 2, 3], jnp.int32)  # swap stream 0's beams
+
+    for step, tok in enumerate(toks):
+        if step == 2:  # beam reindex between steps 1 and 2
+            cache_f = jax.tree.map(lambda a: a[:, perm], cache_f)
+            dcache = jax.tree.map(lambda a: a[:, perm], dcache)
+            tok = tok  # tokens already per new rows
+        lf, cache_f = wm.decode_step(
+            params, cfg, tok, jnp.int32(P + step), cache_f, cc, beams=K,
+            row_pad=row_pad_n)
+        ls, dcache = wm.decode_step_split(
+            params, cfg, tok, jnp.int32(step), pcache, dcache, cc, P,
+            beams=K, row_pad=row_pad_n)
+        np.testing.assert_allclose(
+            np.asarray(ls), np.asarray(lf), rtol=1e-5, atol=1e-5)
+        # unrolled split driver agrees (re-running the step overwrites the
+        # same slot with the same K/V, so the advanced dcache is reusable)
+        ls_u, _ = wm.decode_step_split(
+            params, cfg, tok, jnp.int32(step), pcache, dcache, cc, P,
+            beams=K, row_pad=row_pad_n, unroll=True)
+        np.testing.assert_allclose(
+            np.asarray(ls_u), np.asarray(ls), rtol=1e-5, atol=1e-5)
+    # final decode-cache contents must equal the fused cache's decode slots
+    np.testing.assert_allclose(
+        np.asarray(dcache["k"][:, :, :, :3]),
+        np.asarray(cache_f["k"][:, :, :, P:P+3]), rtol=1e-5, atol=1e-5)

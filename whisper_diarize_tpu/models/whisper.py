@@ -419,6 +419,159 @@ def _dequant(payload: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
     return (payload.astype(dtype) * scale.astype(dtype))
 
 
+
+def _cross_attend_factory(cfg: WhisperConfig, cross_cache: Dict[str, jnp.ndarray],
+                          beams: int, dtype, S: int):
+    """Build the cross-attention dispatch for one decode_step call.
+
+    Returns (cross_fn, select_layer, stacked):
+      cross_fn(cq, ck, cv, layer_idx) -> [N, H, S, Dh] for one layer;
+      select_layer(l) -> this layer's (ck, cv) operands for the unrolled
+        driver (None placeholders when the Pallas kernel indexes the full
+        tiled cache itself via its scalar-prefetched layer index);
+      stacked(L) -> the (cross_k, cross_v) scan xs for the lax.scan driver.
+    Variants: plain [L,B,H,Ta,Dh], int8-quantized, Pallas-tiled bf16/int8
+    (kernel for S == 1, tiled einsum for prefill).
+    """
+    quantized = "k_q" in cross_cache
+    tiled = "k5" in cross_cache  # Pallas flash-decode layout (bf16)
+    tiled_q8 = "k8" in cross_cache  # Pallas flash-decode layout (int8)
+    # the kernel serves the hot single-token steps; prefill (S > 1, once per
+    # window) would overflow VMEM at beams x prompt queries — it runs as an
+    # XLA einsum directly over the tiled layout instead
+    use_kernel = (tiled or tiled_q8) and S == 1
+
+    def _cross_tiled_einsum(cq: jnp.ndarray, k5l, v5l) -> jnp.ndarray:
+        """cq [N, H, S, Dh] vs layer-sliced tiled K/V [B, NT, H, Dh, TT]."""
+        Nb, Hh, Sq, Dh = cq.shape
+        Bb = Nb // beams
+        qf = cq.reshape(Bb, beams, Hh, Sq, Dh).astype(jnp.float32)
+        scale = Dh ** -0.5
+        logits_c = jnp.einsum(
+            "bkhqd,bnhdt->bkhqnt", qf * scale, k5l.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        NT, TT = k5l.shape[1], k5l.shape[-1]
+        col = (
+            jnp.arange(NT)[:, None] * TT + jnp.arange(TT)[None, :]
+        )  # [NT, TT]
+        logits_c = jnp.where(
+            col[None, None, None, None] < cfg.n_audio_ctx, logits_c, -jnp.inf
+        )
+        flat = logits_c.reshape(Bb, beams, Hh, Sq, NT * TT)
+        wgt = jax.nn.softmax(flat, axis=-1).reshape(logits_c.shape)
+        out = jnp.einsum(
+            "bkhqnt,bnhdt->bkhqd", wgt.astype(v5l.dtype), v5l,
+            preferred_element_type=jnp.float32,
+        ).astype(v5l.dtype)
+        return out.reshape(Nb, Hh, Sq, Dh)
+
+    def _cross_pallas(cq: jnp.ndarray, layer_idx) -> jnp.ndarray:
+        """cq [N, H, S, Dh] -> cross attention via the flash kernel, folding
+        beams x positions into the kernel's query axis (cross attention has
+        no causal mask)."""
+        from ..ops.pallas_attn import cross_attn_layer, cross_attn_layer_q8
+
+        Nb, Hh, Sq, Dh = cq.shape
+        Bb = Nb // beams
+        qf = cq.reshape(Bb, beams, Hh, Sq, Dh)
+        qf = jnp.transpose(qf, (0, 1, 3, 2, 4)).reshape(Bb, beams * Sq, Hh, Dh)
+        if tiled_q8:
+            out = cross_attn_layer_q8(
+                layer_idx, qf,
+                cross_cache["k8"], cross_cache["ks"],
+                cross_cache["v8"], cross_cache["vs"],
+                ta_total=cfg.n_audio_ctx, interpret=_pallas_interpret(),
+            )
+        else:
+            out = cross_attn_layer(
+                layer_idx, qf, cross_cache["k5"], cross_cache["v5"],
+                ta_total=cfg.n_audio_ctx, interpret=_pallas_interpret(),
+            )
+        out = out.reshape(Bb, beams, Sq, Hh, Dh)
+        return jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(Nb, Hh, Sq, Dh)
+
+    def cross_fn(cq, ck, cv, layer_idx):
+        if use_kernel:
+            return _cross_pallas(cq, layer_idx)
+        if quantized:
+            ck = _dequant(ck[0], ck[1], dtype)
+            cv = _dequant(cv[0], cv[1], dtype)
+        if tiled:
+            return _cross_tiled_einsum(cq, ck, cv)
+        if tiled_q8:  # prefill over the int8 layout: dequant this layer
+            k5l = ck[0].astype(dtype) * ck[1][:, :, :, None, :].astype(dtype)
+            v5l = cv[0].astype(dtype) * cv[1][:, :, :, None, :].astype(dtype)
+            return _cross_tiled_einsum(cq, k5l, v5l)
+        if beams == 1:
+            return _attn(cq, ck, cv)
+        # beam-folded rows share their stream's cross K/V: [N,H,S,Dh] ->
+        # [B,K,H,S,Dh] against ck/cv [B,H,Ta,Dh]
+        Nb, Hh, Sq, Dh = cq.shape
+        Bb = Nb // beams
+        cqb = cq.reshape(Bb, beams, Hh, Sq, Dh)
+        scale = Dh ** -0.25
+        logits_c = jnp.einsum(
+            "bkhqd,bhtd->bkhqt", cqb * scale, ck * scale,
+            preferred_element_type=jnp.float32,
+        )
+        wgt = jax.nn.softmax(logits_c, axis=-1).astype(cv.dtype)
+        return jnp.einsum(
+            "bkhqt,bhtd->bkhqd", wgt, cv, preferred_element_type=jnp.float32
+        ).astype(cv.dtype).reshape(Nb, Hh, Sq, Dh)
+
+    def select_layer(l: int):
+        if use_kernel:
+            return None, None  # kernel reads the full cache itself
+        if quantized:
+            return ((cross_cache["k_q"][l], cross_cache["k_s"][l]),
+                    (cross_cache["v_q"][l], cross_cache["v_s"][l]))
+        if tiled:
+            return cross_cache["k5"][l], cross_cache["v5"][l]
+        if tiled_q8:
+            return ((cross_cache["k8"][l], cross_cache["ks"][l]),
+                    (cross_cache["v8"][l], cross_cache["vs"][l]))
+        return cross_cache["k"][l], cross_cache["v"][l]
+
+    def stacked(L: int):
+        if use_kernel:
+            # feed tiny placeholders through the scan (an XLA-side layer
+            # slice of the tiled cache would copy it every step)
+            return jnp.zeros((L,), dtype), jnp.zeros((L,), dtype)
+        if quantized:
+            return ((cross_cache["k_q"], cross_cache["k_s"]),
+                    (cross_cache["v_q"], cross_cache["v_s"]))
+        if tiled:
+            return cross_cache["k5"], cross_cache["v5"]
+        if tiled_q8:
+            return ((cross_cache["k8"], cross_cache["ks"]),
+                    (cross_cache["v8"], cross_cache["vs"]))
+        return cross_cache["k"], cross_cache["v"]
+
+    return cross_fn, select_layer, stacked
+
+
+def _decoder_qkv(x, blk, H):
+    """Self-attention projections for one decoder layer."""
+    h = _ln(x, blk["ln1_s"], blk["ln1_b"])
+    q = _heads(h @ blk["q_w"] + blk["q_b"], H)
+    k_new = _heads(h @ blk["k_w"], H)
+    v_new = _heads(h @ blk["v_w"] + blk["v_b"], H)
+    return q, k_new, v_new
+
+
+def _decoder_layer_tail(x, blk, self_out, cross_fn, ck, cv, layer_idx, H):
+    """Everything after self-attention: output proj, cross-attention, MLP."""
+    x = x + _unheads(self_out) @ blk["o_w"] + blk["o_b"]
+    h = _ln(x, blk["ln2_s"], blk["ln2_b"])
+    cq = _heads(h @ blk["cq_w"] + blk["cq_b"], H)
+    x = x + _unheads(cross_fn(cq, ck, cv, layer_idx)) @ blk["co_w"] + blk["co_b"]
+    h = _ln(x, blk["ln3_s"], blk["ln3_b"])
+    h = jax.nn.gelu(h @ blk["fc1_w"] + blk["fc1_b"])
+    x = x + h @ blk["fc2_w"] + blk["fc2_b"]
+    return x
+
+
 def decode_step(
     params: Params,
     cfg: WhisperConfig,
@@ -491,113 +644,9 @@ def decode_step(
         mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)  # [N, S, Tc]
         mask = mask[:, None]  # [N, 1, S, Tc] broadcast over heads
 
-    quantized = "k_q" in cross_cache
-    tiled = "k5" in cross_cache  # Pallas flash-decode layout (bf16)
-    tiled_q8 = "k8" in cross_cache  # Pallas flash-decode layout (int8)
-    # the kernel serves the hot single-token steps; prefill (S > 1, once per
-    # window) would overflow VMEM at beams x prompt queries — it runs as an
-    # XLA einsum directly over the tiled layout instead
-    use_kernel = (tiled or tiled_q8) and S == 1
-
-    def _cross_tiled_einsum(cq: jnp.ndarray, k5l, v5l) -> jnp.ndarray:
-        """cq [N, H, S, Dh] vs layer-sliced tiled K/V [B, NT, H, Dh, TT]."""
-        Nb, Hh, Sq, Dh = cq.shape
-        Bb = Nb // beams
-        qf = cq.reshape(Bb, beams, Hh, Sq, Dh).astype(jnp.float32)
-        scale = Dh ** -0.5
-        logits_c = jnp.einsum(
-            "bkhqd,bnhdt->bkhqnt", qf * scale, k5l.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-        NT, TT = k5l.shape[1], k5l.shape[-1]
-        col = (
-            jnp.arange(NT)[:, None] * TT + jnp.arange(TT)[None, :]
-        )  # [NT, TT]
-        logits_c = jnp.where(
-            col[None, None, None, None] < cfg.n_audio_ctx, logits_c, -jnp.inf
-        )
-        flat = logits_c.reshape(Bb, beams, Hh, Sq, NT * TT)
-        wgt = jax.nn.softmax(flat, axis=-1).reshape(logits_c.shape)
-        out = jnp.einsum(
-            "bkhqnt,bnhdt->bkhqd", wgt.astype(v5l.dtype), v5l,
-            preferred_element_type=jnp.float32,
-        ).astype(v5l.dtype)
-        return out.reshape(Nb, Hh, Sq, Dh)
-
-    def _cross_pallas(cq: jnp.ndarray, layer_idx) -> jnp.ndarray:
-        """cq [N, H, S, Dh] -> cross attention via the flash kernel, folding
-        beams x positions into the kernel's query axis (cross attention has
-        no causal mask)."""
-        from ..ops.pallas_attn import cross_attn_layer, cross_attn_layer_q8
-
-        Nb, Hh, Sq, Dh = cq.shape
-        Bb = Nb // beams
-        qf = cq.reshape(Bb, beams, Hh, Sq, Dh)
-        qf = jnp.transpose(qf, (0, 1, 3, 2, 4)).reshape(Bb, beams * Sq, Hh, Dh)
-        if tiled_q8:
-            out = cross_attn_layer_q8(
-                layer_idx, qf,
-                cross_cache["k8"], cross_cache["ks"],
-                cross_cache["v8"], cross_cache["vs"],
-                ta_total=cfg.n_audio_ctx, interpret=_pallas_interpret(),
-            )
-        else:
-            out = cross_attn_layer(
-                layer_idx, qf, cross_cache["k5"], cross_cache["v5"],
-                ta_total=cfg.n_audio_ctx, interpret=_pallas_interpret(),
-            )
-        out = out.reshape(Bb, beams, Sq, Hh, Dh)
-        return jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(Nb, Hh, Sq, Dh)
-
-    def _qkv(x, blk):
-        """Self-attention projections for one layer."""
-        h = _ln(x, blk["ln1_s"], blk["ln1_b"])
-        q = _heads(h @ blk["q_w"] + blk["q_b"], H)
-        k_new = _heads(h @ blk["k_w"], H)
-        v_new = _heads(h @ blk["v_w"] + blk["v_b"], H)
-        return q, k_new, v_new
-
-    def _rest(x, blk, q, k_cache, v_cache, ck, cv, layer_idx):
-        """Self-attention (over the already-updated cache), cross-attention
-        and MLP for one layer — shared by the scan and unrolled drivers."""
-        if quantized:
-            ck = _dequant(ck[0], ck[1], dtype)
-            cv = _dequant(cv[0], cv[1], dtype)
-        x = x + _unheads(_attn(q, k_cache, v_cache, mask)) @ blk["o_w"] + blk["o_b"]
-        # cross-attention against the precomputed audio K/V
-        h = _ln(x, blk["ln2_s"], blk["ln2_b"])
-        cq = _heads(h @ blk["cq_w"] + blk["cq_b"], H)
-        if use_kernel:
-            cross_out = _cross_pallas(cq, layer_idx)
-        elif tiled:
-            cross_out = _cross_tiled_einsum(cq, ck, cv)
-        elif tiled_q8:  # prefill over the int8 layout: dequant this layer
-            k5l = ck[0].astype(dtype) * ck[1][:, :, :, None, :].astype(dtype)
-            v5l = cv[0].astype(dtype) * cv[1][:, :, :, None, :].astype(dtype)
-            cross_out = _cross_tiled_einsum(cq, k5l, v5l)
-        elif beams == 1:
-            cross_out = _attn(cq, ck, cv)
-        else:
-            # beam-folded rows share their stream's cross K/V: [N,H,S,Dh] ->
-            # [B,K,H,S,Dh] against ck/cv [B,H,Ta,Dh]
-            Nb, Hh, Sq, Dh = cq.shape
-            Bb = Nb // beams
-            cqb = cq.reshape(Bb, beams, Hh, Sq, Dh)
-            scale = Dh ** -0.25
-            logits_c = jnp.einsum(
-                "bkhqd,bhtd->bkhqt", cqb * scale, ck * scale,
-                preferred_element_type=jnp.float32,
-            )
-            wgt = jax.nn.softmax(logits_c, axis=-1).astype(cv.dtype)
-            cross_out = jnp.einsum(
-                "bkhqt,bhtd->bkhqd", wgt, cv, preferred_element_type=jnp.float32
-            ).astype(cv.dtype).reshape(Nb, Hh, Sq, Dh)
-        x = x + _unheads(cross_out) @ blk["co_w"] + blk["co_b"]
-        # mlp
-        h = _ln(x, blk["ln3_s"], blk["ln3_b"])
-        h = jax.nn.gelu(h @ blk["fc1_w"] + blk["fc1_b"])
-        x = x + h @ blk["fc2_w"] + blk["fc2_b"]
-        return x
+    cross_fn, cross_select, cross_stacked = _cross_attend_factory(
+        cfg, cross_cache, beams, dtype, S
+    )
 
     L = cfg.n_text_layer
     if unroll:
@@ -607,30 +656,21 @@ def decode_step(
         kc, vc = self_cache["k"], self_cache["v"]
         for l in range(L):
             blk = jax.tree.map(lambda a: a[l], dec["blocks"])
-            q, k_new, v_new = _qkv(x, blk)
+            q, k_new, v_new = _decoder_qkv(x, blk, H)
             kc = jax.lax.dynamic_update_slice(
                 kc, k_new[None], (l, 0, 0, pos_offset, 0))
             vc = jax.lax.dynamic_update_slice(
                 vc, v_new[None], (l, 0, 0, pos_offset, 0))
-            if quantized:
-                ck = (cross_cache["k_q"][l], cross_cache["k_s"][l])
-                cv = (cross_cache["v_q"][l], cross_cache["v_s"][l])
-            elif use_kernel:
-                ck = cv = None  # the kernel indexes the full cache by layer
-            elif tiled:
-                ck, cv = cross_cache["k5"][l], cross_cache["v5"][l]
-            elif tiled_q8:
-                ck = (cross_cache["k8"][l], cross_cache["ks"][l])
-                cv = (cross_cache["v8"][l], cross_cache["vs"][l])
-            else:
-                ck, cv = cross_cache["k"][l], cross_cache["v"][l]
-            x = _rest(x, blk, q, kc[l], vc[l], ck, cv, jnp.int32(l))
+            self_out = _attn(q, kc[l], vc[l], mask)
+            ck, cv = cross_select(l)
+            x = _decoder_layer_tail(
+                x, blk, self_out, cross_fn, ck, cv, jnp.int32(l), H)
         new_cache = {"k": kc, "v": vc}
     else:
         def layer(carry, blk_and_cross):
             x, = carry
             blk, ck, cv, layer_idx = blk_and_cross
-            q, k_new, v_new = _qkv(x, blk)
+            q, k_new, v_new = _decoder_qkv(x, blk, H)
             # write new K/V into this layer's cache slice at pos_offset
             k_cache = jax.lax.dynamic_update_slice(
                 blk["k_cache"], k_new, (0, 0, pos_offset, 0)
@@ -638,28 +678,15 @@ def decode_step(
             v_cache = jax.lax.dynamic_update_slice(
                 blk["v_cache"], v_new, (0, 0, pos_offset, 0)
             )
-            x = _rest(x, blk, q, k_cache, v_cache, ck, cv, layer_idx)
+            self_out = _attn(q, k_cache, v_cache, mask)
+            x = _decoder_layer_tail(
+                x, blk, self_out, cross_fn, ck, cv, layer_idx, H)
             return (x,), (k_cache, v_cache)
 
         blocks = dict(dec["blocks"])
         blocks["k_cache"] = self_cache["k"]
         blocks["v_cache"] = self_cache["v"]
-        if quantized:
-            cross_k = (cross_cache["k_q"], cross_cache["k_s"])
-            cross_v = (cross_cache["v_q"], cross_cache["v_s"])
-        elif use_kernel:
-            # the kernel indexes the FULL tiled cache by layer via scalar
-            # prefetch (an XLA-side layer slice would copy the cache every
-            # step); feed tiny placeholders through the scan
-            cross_k = jnp.zeros((L,), dtype)
-            cross_v = jnp.zeros((L,), dtype)
-        elif tiled:  # prefill: scan slices the tiled layout, einsum fuses it
-            cross_k, cross_v = cross_cache["k5"], cross_cache["v5"]
-        elif tiled_q8:
-            cross_k = (cross_cache["k8"], cross_cache["ks"])
-            cross_v = (cross_cache["v8"], cross_cache["vs"])
-        else:
-            cross_k, cross_v = cross_cache["k"], cross_cache["v"]
+        cross_k, cross_v = cross_stacked(L)
         (x,), (k_caches, v_caches) = jax.lax.scan(
             layer, (x,), (blocks, cross_k, cross_v, jnp.arange(L))
         )
@@ -669,6 +696,138 @@ def decode_step(
         "bsd,vd->bsv", x, dec["tok_emb"], preferred_element_type=jnp.float32
     )
     return logits, new_cache
+
+
+def init_split_decode_cache(
+    cfg: WhisperConfig, batch: int, dtype, max_len: int
+) -> Dict[str, jnp.ndarray]:
+    """Per-beam DECODE half of a split self-cache: [L, N, H, Td, Dh]."""
+    L, H, Dh = cfg.n_text_layer, cfg.n_text_head, cfg.head_dim
+    z = jnp.zeros((L, batch, H, max_len, Dh), dtype)
+    return {"k": z, "v": z}
+
+
+def decode_step_split(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # [N, 1] int32 — sampling only (S = 1)
+    step: jnp.ndarray,  # scalar int32: decode slot being written (0-based)
+    prompt_cache: Dict[str, jnp.ndarray],  # {"k","v": [L, B, H, Tp, Dh]}
+    decode_cache: Dict[str, jnp.ndarray],  # {"k","v": [L, N, H, Td, Dh]}
+    cross_cache: Dict[str, jnp.ndarray],
+    prompt_len: int,  # static: number of prompt buffer slots (= bucket P)
+    beams: int = 1,
+    row_pad: Optional[jnp.ndarray] = None,  # [N] int32 left-pad per row
+    unroll: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Sampling step against a SPLIT self-cache.
+
+    Beam search's per-step cache reindex was the dominant beam overhead
+    (~10 ms/step on large-v3 b16 over the fused [L,N,H,Tc,Dh] cache). The
+    split layout exploits two facts: (1) the prompt K/V of a stream's K
+    beams are IDENTICAL (prefilled once per stream, [L,B,H,Tp,Dh], never
+    gathered, read beam-shared like the cross cache); (2) only the small
+    decode half [L,N,H,Td,Dh] differs per beam — it alone is gathered to
+    surviving beams, and self-attention joins the two halves under one
+    softmax. Numerics match the fused cache exactly
+    (`tests/test_whisper_model.py::test_decode_step_split_parity`).
+
+    Returns (logits [N, 1, V] f32, updated decode_cache).
+    """
+    dec = params["decoder"]
+    dtype = dec["tok_emb"].dtype
+    N = tokens.shape[0]
+    B = N // beams
+    H = cfg.n_text_head
+    Tp = prompt_cache["k"].shape[-2]
+    Td = decode_cache["k"].shape[-2]
+    if row_pad is None:
+        row_pad = jnp.zeros((N,), jnp.int32)
+
+    buf_pos = prompt_len + step
+    emb_pos = jnp.maximum(buf_pos - row_pad, 0)  # [N]
+    x = dec["tok_emb"][tokens] + jnp.take(
+        dec["pos_emb"], emb_pos, axis=0
+    )[:, None, :].astype(dtype)
+
+    # prompt keys: beam-shared; pad filler slots masked off ([B, Tp])
+    row_pad_b = row_pad.reshape(B, beams)[:, 0]
+    tp = jnp.arange(Tp)[None, :]
+    pmask = jnp.where(
+        (tp >= row_pad_b[:, None]) & (tp < prompt_len), 0.0, -jnp.inf
+    ).astype(jnp.float32)
+    # decode keys: slots written so far, this step's included ([Td])
+    dmask = jnp.where(jnp.arange(Td) <= step, 0.0, -jnp.inf).astype(jnp.float32)
+
+    cross_fn, cross_select, cross_stacked = _cross_attend_factory(
+        cfg, cross_cache, beams, dtype, 1
+    )
+
+    def split_attn(q, pk, pv, dk, dv):
+        # q [N,H,1,Dh]; pk/pv [B,H,Tp,Dh]; dk/dv [N,H,Td,Dh]
+        Dh = q.shape[-1]
+        scale = Dh ** -0.25
+        qb = (q * scale).reshape(B, beams, H, Dh)
+        sp = jnp.einsum(
+            "bkhd,bhtd->bkht", qb, pk * scale,
+            preferred_element_type=jnp.float32,
+        ) + pmask[:, None, None, :]
+        sd = jnp.einsum(
+            "nhqd,nhtd->nhqt", q * scale, dk * scale,
+            preferred_element_type=jnp.float32,
+        )[:, :, 0].reshape(B, beams, H, Td) + dmask[None, None, None, :]
+        w = jax.nn.softmax(jnp.concatenate([sp, sd], axis=-1), axis=-1)
+        wp = w[..., :Tp].astype(pv.dtype)
+        wd = w[..., Tp:].astype(dv.dtype).reshape(N, H, 1, Td)
+        op = jnp.einsum(
+            "bkht,bhtd->bkhd", wp, pv, preferred_element_type=jnp.float32)
+        od = jnp.einsum(
+            "nhqt,nhtd->nhqd", wd, dv, preferred_element_type=jnp.float32)
+        return (op.reshape(N, H, 1, Dh) + od).astype(dv.dtype)
+
+    L = cfg.n_text_layer
+    if unroll:
+        dk, dv = decode_cache["k"], decode_cache["v"]
+        pk, pv = prompt_cache["k"], prompt_cache["v"]
+        for l in range(L):
+            blk = jax.tree.map(lambda a: a[l], dec["blocks"])
+            q, k_new, v_new = _decoder_qkv(x, blk, H)
+            dk = jax.lax.dynamic_update_slice(
+                dk, k_new[None], (l, 0, 0, step, 0))
+            dv = jax.lax.dynamic_update_slice(
+                dv, v_new[None], (l, 0, 0, step, 0))
+            self_out = split_attn(q, pk[l], pv[l], dk[l], dv[l])
+            ck, cv = cross_select(l)
+            x = _decoder_layer_tail(
+                x, blk, self_out, cross_fn, ck, cv, jnp.int32(l), H)
+        new_decode = {"k": dk, "v": dv}
+    else:
+        def layer(carry, xs):
+            x, = carry
+            blk, pk_l, pv_l, dk_l, dv_l, ck, cv, layer_idx = xs
+            q, k_new, v_new = _decoder_qkv(x, blk, H)
+            dk_l = jax.lax.dynamic_update_slice(dk_l, k_new, (0, 0, step, 0))
+            dv_l = jax.lax.dynamic_update_slice(dv_l, v_new, (0, 0, step, 0))
+            self_out = split_attn(q, pk_l, pv_l, dk_l, dv_l)
+            x = _decoder_layer_tail(
+                x, blk, self_out, cross_fn, ck, cv, layer_idx, H)
+            return (x,), (dk_l, dv_l)
+
+        cross_k, cross_v = cross_stacked(L)
+        (x,), (dk, dv) = jax.lax.scan(
+            layer, (x,),
+            (dec["blocks"], prompt_cache["k"], prompt_cache["v"],
+             decode_cache["k"], decode_cache["v"], cross_k, cross_v,
+             jnp.arange(L)),
+        )
+        new_decode = {"k": dk, "v": dv}
+    x = _ln(x, dec["ln_s"], dec["ln_b"])
+    logits = jnp.einsum(
+        "bsd,vd->bsv", x, dec["tok_emb"], preferred_element_type=jnp.float32
+    )
+    return logits, new_decode
+
+
 
 
 
