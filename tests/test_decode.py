@@ -232,3 +232,71 @@ def test_beam_length_penalty_option(setup):
     res = dec.beam_decode(params, TINY_TEST_CFG, dc, tk.specials, xa, _prompt(tk, 2), 3)
     assert np.isfinite(np.asarray(res.sum_logprob)).all()
     _check_timestamp_grammar(np.asarray(res.tokens), np.asarray(res.lengths), tk.specials)
+
+
+def test_retire_eot_matches_sequential():
+    """The vectorized EOT retiral must reproduce the sequential
+    best-remaining-argmax semantics it replaced (score-sorted candidates,
+    j-th finite EOT -> slot fin_count+j, overflow dropped)."""
+    rng = np.random.default_rng(7)
+    tk = DebugTokenizer()
+    sp = tk.specials
+    B, K, T = 3, 4, 6
+    N = B * K
+    for trial in range(30):
+        # sorted-descending candidate scores with random EOT markers
+        topv = np.sort(rng.standard_normal((B, 2 * K)).astype(np.float32),
+                       axis=1)[:, ::-1].copy()
+        # sprinkle -inf tails and EOT tokens
+        n_inf = rng.integers(0, 2 * K, B)
+        for b in range(B):
+            if n_inf[b]:
+                topv[b, -n_inf[b]:] = -np.inf
+        tok_idx = rng.integers(10, 100, (B, 2 * K)).astype(np.int32)
+        eot_mask = rng.random((B, 2 * K)) < 0.4
+        tok_idx[eot_mask] = sp.eot
+        beam_idx = rng.integers(0, K, (B, 2 * K)).astype(np.int32)
+        src_flat = (np.arange(B)[:, None] * K + beam_idx).astype(np.int32)
+        tokens = rng.integers(0, 100, (N, T)).astype(np.int32)
+        probs = rng.random((N, T)).astype(np.float32)
+        length = rng.integers(0, T, N).astype(np.int32)
+        fin_tokens = np.full((B, K, T), -1, np.int32)
+        fin_probs = np.zeros((B, K, T), np.float32)
+        fin_scores = np.full((B, K), -np.inf, np.float32)
+        fin_lengths = np.zeros((B, K), np.int32)
+        fin_count = rng.integers(0, K + 1, B).astype(np.int32)
+
+        # --- sequential reference (the pre-vectorization implementation)
+        ft, fp = fin_tokens.copy(), fin_probs.copy()
+        fs, fl, fc = fin_scores.copy(), fin_lengths.copy(), fin_count.copy()
+        is_eot = tok_idx == sp.eot
+        for _slot in range(K):
+            cand_score = np.where(is_eot, topv, -np.inf)
+            best = np.argmax(cand_score, axis=-1)
+            best_score = np.take_along_axis(cand_score, best[:, None], 1)[:, 0]
+            has = np.isfinite(best_score) & (fc < K)
+            bsrc = np.take_along_axis(src_flat, best[:, None], 1)[:, 0]
+            for b in range(B):
+                if has[b]:
+                    w = fc[b]
+                    ft[b, w] = tokens[bsrc[b]]
+                    fp[b, w] = probs[bsrc[b]]
+                    fs[b, w] = best_score[b]
+                    fl[b, w] = length[bsrc[b]]
+                    fc[b] += 1
+                    is_eot[b, best[b]] = False
+
+        # --- vectorized implementation under test
+        out = dec._retire_eot_candidates(
+            sp, K, jnp.asarray(topv), jnp.asarray(tok_idx),
+            jnp.asarray(src_flat), jnp.asarray(tokens), jnp.asarray(probs),
+            jnp.asarray(length), jnp.asarray(fin_tokens),
+            jnp.asarray(fin_probs), jnp.asarray(fin_scores),
+            jnp.asarray(fin_lengths), jnp.asarray(fin_count),
+        )
+        vt, vp, vs, vl, vc = (np.asarray(a) for a in out)
+        np.testing.assert_array_equal(vt, ft)
+        np.testing.assert_allclose(vp, fp)
+        np.testing.assert_allclose(vs, fs)
+        np.testing.assert_array_equal(vl, fl)
+        np.testing.assert_array_equal(vc, fc)

@@ -430,6 +430,49 @@ def greedy_decode(
     return greedy_finalize(state)
 
 
+def _retire_eot_candidates(
+    sp: SpecialTokens,
+    K: int,
+    topv: jnp.ndarray,  # [B, 2K] candidate scores, sorted descending
+    tok_idx: jnp.ndarray,  # [B, 2K] candidate token ids
+    src_flat: jnp.ndarray,  # [B, 2K] flat source-beam row per candidate
+    tokens: jnp.ndarray,  # [N, T] active-beam token buffers
+    probs: jnp.ndarray,  # [N, T]
+    length: jnp.ndarray,  # [N]
+    fin_tokens, fin_probs, fin_scores, fin_lengths, fin_count,
+):
+    """Retire this step's EOT candidates into the finished slots, vectorized.
+
+    Candidates arrive score-sorted from top_k, which is exactly the order a
+    sequential best-remaining-argmax retiral would pick them in: the j-th
+    finite EOT candidate goes to slot fin_count + j; overflow beyond the K
+    slots is dropped (whisper keeps at most beam_size finished hypotheses).
+    One scatter via per-slot candidate indices replaces the former K
+    sequential argmax iterations (~K x 8 small kernels per decode step).
+    Equivalence with the sequential semantics:
+    `tests/test_decode.py::test_retire_eot_matches_sequential`.
+    """
+    B = topv.shape[0]
+    retirable = (tok_idx == sp.eot) & jnp.isfinite(topv)  # [B, 2K]
+    rank = jnp.cumsum(retirable.astype(jnp.int32), axis=1) - 1
+    write_pos = fin_count[:, None] + rank  # [B, 2K] target slot
+    valid = retirable & (write_pos < K)
+    # slot k's candidate: W[b, c, k] has at most one True along c
+    W = valid[:, :, None] & (
+        write_pos[:, :, None] == jnp.arange(K)[None, None, :]
+    )  # [B, 2K, K]
+    taken = jnp.any(W, axis=1)  # [B, K]
+    cidx = jnp.argmax(W, axis=1)  # [B, K] candidate index per slot
+    bsrc = jnp.take_along_axis(src_flat, cidx, 1)  # [B, K] source row
+    fin_tokens = jnp.where(taken[:, :, None], tokens[bsrc], fin_tokens)
+    fin_probs = jnp.where(taken[:, :, None], probs[bsrc], fin_probs)
+    fin_scores = jnp.where(
+        taken, jnp.take_along_axis(topv, cidx, 1), fin_scores)
+    fin_lengths = jnp.where(taken, length[bsrc], fin_lengths)
+    fin_count = fin_count + jnp.sum(valid, axis=1)
+    return fin_tokens, fin_probs, fin_scores, fin_lengths, fin_count
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "dc", "sp", "prompt_len", "sot_pos")
 )
@@ -574,47 +617,15 @@ def beam_run(
         beam_idx = topi // V  # [B, 2K] source beam
         tok_idx = (topi % V).astype(jnp.int32)
 
-        is_eot = tok_idx == sp.eot
-
-        # --- retire EOT candidates into finished slots (at most one per step
-        # per slot; loop over K slots statically)
-        fin_scores, fin_tokens, fin_probs, fin_lengths, fin_count = (
-            s["fin_scores"], s["fin_tokens"], s["fin_probs"],
-            s["fin_lengths"], s["fin_count"],
-        )
         src_flat = (jnp.arange(B)[:, None] * K + beam_idx).astype(jnp.int32)  # [B, 2K]
-        for slot in range(K):
-            # best unretired EOT candidate this step
-            cand_score = jnp.where(is_eot, topv, NEG_INF)  # [B, 2K]
-            best = jnp.argmax(cand_score, axis=-1)  # [B]
-            best_score = jnp.take_along_axis(cand_score, best[:, None], 1)[:, 0]
-            has = jnp.isfinite(best_score) & (fin_count < K)
-            bsrc = jnp.take_along_axis(src_flat, best[:, None], 1)[:, 0]  # [B]
-            cand_tokens = s["tokens"][bsrc]  # [B, T]
-            cand_probsb = s["probs"][bsrc]
-            cand_len = s["length"][bsrc]
-            w = fin_count  # write position
-            fin_tokens = jnp.where(
-                has[:, None, None] & (jnp.arange(K)[None, :, None] == w[:, None, None]),
-                cand_tokens[:, None, :], fin_tokens,
+        (fin_tokens, fin_probs, fin_scores, fin_lengths, fin_count) = (
+            _retire_eot_candidates(
+                sp, K, topv, tok_idx, src_flat,
+                s["tokens"], s["probs"], s["length"],
+                s["fin_tokens"], s["fin_probs"], s["fin_scores"],
+                s["fin_lengths"], s["fin_count"],
             )
-            fin_probs = jnp.where(
-                has[:, None, None] & (jnp.arange(K)[None, :, None] == w[:, None, None]),
-                cand_probsb[:, None, :], fin_probs,
-            )
-            fin_scores = jnp.where(
-                has[:, None] & (jnp.arange(K)[None, :] == w[:, None]),
-                best_score[:, None], fin_scores,
-            )
-            fin_lengths = jnp.where(
-                has[:, None] & (jnp.arange(K)[None, :] == w[:, None]),
-                cand_len[:, None], fin_lengths,
-            )
-            fin_count = fin_count + has.astype(jnp.int32)
-            # remove the retired candidate from this step's pool
-            is_eot = is_eot & (jnp.arange(2 * K)[None, :] != best[:, None]) | (
-                is_eot & ~has[:, None]
-            )
+        )
 
         # --- keep top-K non-EOT candidates as the new active beams
         active_score = jnp.where(tok_idx == sp.eot, NEG_INF, topv)
