@@ -214,3 +214,22 @@ def test_decode_step_split_parity(params, xa):
     np.testing.assert_allclose(
         np.asarray(dcache["k"][:, :, :, :3]),
         np.asarray(cache_f["k"][:, :, :, P:P+3]), rtol=1e-5, atol=1e-5)
+
+
+def test_cross_kv_tiled_parity(params, xa):
+    """Direct-to-tiled cross K/V must match tile_cross_cache(cross_kv(...))
+    on every valid audio position (padded tail differs by design: K=0/V=bias
+    there, masked by all consumers)."""
+    cfg = TINY_TEST_CFG
+    ref = wm.tile_cross_cache(wm.cross_kv(params, xa, cfg))
+    out = wm.cross_kv_tiled(params, xa, cfg)
+    assert out["k5"].shape == ref["k5"].shape
+    L, B, NT, H, Dh, TT = ref["k5"].shape
+    # valid flat positions < Ta
+    valid = (np.arange(NT)[:, None] * TT + np.arange(TT)[None, :]) < cfg.n_audio_ctx
+    for key in ("k5", "v5"):
+        a = np.asarray(ref[key], np.float32)
+        b = np.asarray(out[key], np.float32)
+        m = valid[None, None, :, None, None, :]  # mask padded tail
+        np.testing.assert_allclose(
+            np.where(m, a, 0.0), np.where(m, b, 0.0), rtol=1e-5, atol=1e-5)

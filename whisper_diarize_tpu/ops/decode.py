@@ -224,15 +224,18 @@ def greedy_init(
     if row_pad is None:
         row_pad = jnp.zeros((B,), jnp.int32)
 
-    cross_cache = wm.cross_kv(params, xa, cfg)
     if dc.pallas_cross and dc.quantize_cross_kv:
         # int8 payloads dequantized INSIDE the flash kernel (~55% of the
         # bf16 stream); without the kernel, int8 stays a memory-only option
-        cross_cache = wm.tile_quantize_cross_cache(cross_cache)
+        cross_cache = wm.tile_quantize_cross_cache(wm.cross_kv(params, xa, cfg))
     elif dc.quantize_cross_kv:
-        cross_cache = wm.quantize_cross_kv(cross_cache)
+        cross_cache = wm.quantize_cross_kv(wm.cross_kv(params, xa, cfg))
     elif dc.pallas_cross:
-        cross_cache = wm.tile_cross_cache(cross_cache)
+        # computed straight into the kernel layout — skips the ~8 GB
+        # transpose of tile_cross_cache (108 -> 66 ms on large-v3 b16)
+        cross_cache = wm.cross_kv_tiled(params, xa, cfg)
+    else:
+        cross_cache = wm.cross_kv(params, xa, cfg)
     # size the KV cache to the decode budget (64-aligned): every step streams
     # the whole cache, so unused slots are pure HBM waste
     # 16-aligned (bf16 sublane tile): every step streams the whole cache,
