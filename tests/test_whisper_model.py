@@ -233,3 +233,42 @@ def test_cross_kv_tiled_parity(params, xa):
         m = valid[None, None, :, None, None, :]  # mask padded tail
         np.testing.assert_allclose(
             np.where(m, a, 0.0), np.where(m, b, 0.0), rtol=1e-5, atol=1e-5)
+
+
+def test_decode_step_split_ancestry_parity(params, xa):
+    """Gather-free ancestry indirection must reproduce the explicit
+    decode-cache gather exactly across steps and beam reindexes."""
+    cfg = TINY_TEST_CFG
+    cc = wm.cross_kv(params, xa, cfg)
+    B = xa.shape[0]
+    K = 2
+    N = B * K
+    P = 3
+    rng = np.random.default_rng(5)
+    prompt = jnp.asarray(rng.integers(10, 200, (B, P)), jnp.int32)
+    pcache = wm.init_self_cache(cfg, B, xa.dtype, P)
+    _, pcache = wm.decode_step(params, cfg, prompt, jnp.int32(0), pcache, cc)
+
+    # explicit-gather run (reference)
+    dc_g = wm.init_split_decode_cache(cfg, N, xa.dtype, 16)
+    # ancestry run: cache never permuted
+    dc_a = wm.init_split_decode_cache(cfg, N, xa.dtype, 16)
+    anc = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None], (N, 16)).copy()
+
+    perms = [jnp.asarray(p, jnp.int32) for p in
+             ([0, 1, 2, 3], [1, 1, 3, 2], [0, 1, 3, 3], [1, 0, 2, 3])]
+    for step in range(4):
+        perm = perms[step]
+        # reference: permute the cache rows, then decode
+        dc_g = jax.tree.map(lambda a: a[:, perm], dc_g)
+        # ancestry: permute only the index map; slot `step` will be self
+        anc = anc[perm].at[:, step].set(jnp.arange(N, dtype=jnp.int32))
+        tok = jnp.asarray(rng.integers(10, 200, (N, 1)), jnp.int32)
+        lg, dc_g = wm.decode_step_split(
+            params, cfg, tok, jnp.int32(step), pcache, dc_g, cc, P, beams=K)
+        la, dc_a = wm.decode_step_split(
+            params, cfg, tok, jnp.int32(step), pcache, dc_a, cc, P, beams=K,
+            anc=anc)
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lg), rtol=1e-5, atol=1e-5)

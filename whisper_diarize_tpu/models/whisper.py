@@ -757,6 +757,7 @@ def decode_step_split(
     beams: int = 1,
     row_pad: Optional[jnp.ndarray] = None,  # [N] int32 left-pad per row
     unroll: bool = False,
+    anc: Optional[jnp.ndarray] = None,  # [N, Td] int32 ancestry row indices
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Sampling step against a SPLIT self-cache.
 
@@ -769,6 +770,17 @@ def decode_step_split(
     surviving beams, and self-attention joins the two halves under one
     softmax. Numerics match the fused cache exactly
     (`tests/test_whisper_model.py::test_decode_step_split_parity`).
+
+    `anc` enables GATHER-FREE beam search: the decode cache stays
+    unpermuted in the loop carry (each row only ever receives in-place
+    single-slot writes), and `anc[n, t]` names the physical row holding
+    beam n's slot-t entry. The row indirection is applied at READ time into
+    a per-layer temp — a temp gather composes ~3x cheaper inside the decode
+    loop than permuting the carried cache (XLA must defensively copy a
+    cross-row permutation whose output aliases a loop carry; measured 13.8
+    vs 4.7 ms/step on large-v3 b16, `tools/bench_beam_breakdown.py`).
+    Callers maintain `anc` as: `anc = anc[new_src].at[:, step].set(arange(N))`
+    before each step.
 
     Returns (logits [N, 1, V] f32, updated decode_cache).
     """
@@ -823,6 +835,15 @@ def decode_step_split(
             "nhqt,nhtd->nhqd", wd, dv, preferred_element_type=jnp.float32)
         return (op.reshape(N, H, 1, Dh) + od).astype(dv.dtype)
 
+    if anc is not None:
+        anc_idx = anc[:, None, :, None]  # broadcast over H and Dh
+
+        def _deref(a):  # [N, H, Td, Dh] -> ancestry-resolved temp
+            return jnp.take_along_axis(a, anc_idx, axis=0)
+    else:
+        def _deref(a):
+            return a
+
     L = cfg.n_text_layer
     if unroll:
         dk, dv = decode_cache["k"], decode_cache["v"]
@@ -834,7 +855,7 @@ def decode_step_split(
                 dk, k_new[None], (l, 0, 0, step, 0))
             dv = jax.lax.dynamic_update_slice(
                 dv, v_new[None], (l, 0, 0, step, 0))
-            self_out = split_attn(q, pk[l], pv[l], dk[l], dv[l])
+            self_out = split_attn(q, pk[l], pv[l], _deref(dk[l]), _deref(dv[l]))
             ck, cv = cross_select(l)
             x = _decoder_layer_tail(
                 x, blk, self_out, cross_fn, ck, cv, jnp.int32(l), H)
@@ -846,7 +867,7 @@ def decode_step_split(
             q, k_new, v_new = _decoder_qkv(x, blk, H)
             dk_l = jax.lax.dynamic_update_slice(dk_l, k_new, (0, 0, step, 0))
             dv_l = jax.lax.dynamic_update_slice(dv_l, v_new, (0, 0, step, 0))
-            self_out = split_attn(q, pk_l, pv_l, dk_l, dv_l)
+            self_out = split_attn(q, pk_l, pv_l, _deref(dk_l), _deref(dv_l))
             x = _decoder_layer_tail(
                 x, blk, self_out, cross_fn, ck, cv, layer_idx, H)
             return (x,), (dk_l, dv_l)

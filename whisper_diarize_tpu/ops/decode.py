@@ -509,12 +509,19 @@ def beam_init(
 
     # cross K/V computed ONCE per stream (B rows) and shared across the K
     # beams inside decode_step — 1/K of the replicated-cache HBM traffic
-    cross_cache = wm.cross_kv(params, xa, cfg)
-    if dc.quantize_cross_kv:
-        cross_cache = wm.quantize_cross_kv(cross_cache)
-    # NOTE: beam search keeps the plain layout — XLA's beam einsum already
-    # shares each stream's K/V across beams at the same bandwidth, and the
-    # kernel measured no win there (greedy: ~1.7x on the cross stream)
+    # cross layout mirrors greedy_init: the flash kernel folds a stream's
+    # beams into its query axis, so beams share the tiled stream too (the
+    # round-2 "beams gain nothing" note predated the corrected kernel
+    # bandwidth measurement — the kernel streams at ~740 GB/s vs the beam
+    # einsum's ~400)
+    if dc.pallas_cross and dc.quantize_cross_kv:
+        cross_cache = wm.tile_quantize_cross_cache(wm.cross_kv(params, xa, cfg))
+    elif dc.quantize_cross_kv:
+        cross_cache = wm.quantize_cross_kv(wm.cross_kv(params, xa, cfg))
+    elif dc.pallas_cross:
+        cross_cache = wm.cross_kv_tiled(params, xa, cfg)
+    else:
+        cross_cache = wm.cross_kv(params, xa, cfg)
     # SPLIT self-cache: the prompt half is prefillled ONCE PER STREAM (B
     # rows, 1/K of the old replicated prefill) and shared across its beams
     # forever — only the compact decode half [L, N, H, Td, Dh] is ever
@@ -537,6 +544,11 @@ def beam_init(
         logits=first_logits,  # [N, V]
         cache={"pk": prompt_cache["k"], "pv": prompt_cache["v"],
                "dk": decode_cache["k"], "dv": decode_cache["v"]},
+        # ancestry row indices: anc[n, t] = physical row holding beam n's
+        # slot-t K/V. The decode cache is NEVER permuted in the loop; the
+        # indirection resolves at read time inside decode_step_split
+        anc=jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
+                             (N, td)).copy(),
         cross=cross_cache,
         no_speech_prob=no_speech_prob,
         tokens=jnp.full((N, max_steps), sp.eot, jnp.int32),
@@ -645,27 +657,28 @@ def beam_run(
         length = s["length"][new_src] + 1
         is_ts = new_tok >= sp.timestamp_begin
 
-        # reindex ONLY the decode half of the split cache to the surviving
-        # beams — the beam-shared prompt half never changes (see beam_init)
-        cache = dict(
-            s["cache"],
-            dk=s["cache"]["dk"][:, new_src],
-            dv=s["cache"]["dv"][:, new_src],
-        )
+        # GATHER-FREE beam reindex: the decode cache stays unpermuted (only
+        # in-place single-slot writes touch it — permuting a loop-carried
+        # buffer forces XLA into defensive full copies, ~13.8 ms/step);
+        # instead the tiny [N, Td] ancestry map follows the surviving beams
+        # and rows are dereferenced at read time inside the step
+        anc = s["anc"][new_src].at[:, s["step"]].set(
+            jnp.arange(s["anc"].shape[0], dtype=jnp.int32))
 
         step_logits, new_dec = wm.decode_step_split(
             params, cfg, new_tok[:, None], s["step"],
-            {"k": cache["pk"], "v": cache["pv"]},
-            {"k": cache["dk"], "v": cache["dv"]},
+            {"k": s["cache"]["pk"], "v": s["cache"]["pv"]},
+            {"k": s["cache"]["dk"], "v": s["cache"]["dv"]},
             cross_cache, prompt_len, beams=K, row_pad=s["row_pad"],
-            unroll=_resolve_unroll(dc),
+            unroll=_resolve_unroll(dc), anc=anc,
         )
-        cache = dict(cache, dk=new_dec["k"], dv=new_dec["v"])
+        cache = dict(s["cache"], dk=new_dec["k"], dv=new_dec["v"])
 
         return dict(
             step=s["step"] + 1,
             logits=step_logits[:, 0],
             cache=cache,
+            anc=anc,
             cross=s["cross"],
             no_speech_prob=s["no_speech_prob"],
             row_pad=s["row_pad"],
