@@ -118,46 +118,49 @@ def _timestamp_rule_mask(
     max_ts_tok: jnp.ndarray,  # [N] int32 — highest timestamp token sampled
     ts_seen: jnp.ndarray,  # [N] bool — any timestamp sampled yet
     max_initial_ts_idx: int,
+    extra_first_ban: Optional[jnp.ndarray] = None,  # [V] bool, step-0 bans
 ) -> jnp.ndarray:
-    """Apply whisper's timestamp grammar, returning masked logits."""
+    """Apply whisper's timestamp grammar, returning masked logits.
+
+    All grammar bans fuse into ONE [N, V] boolean pass (the sampling loop
+    runs this every token; four separate mask-adds measured ~2x the cost):
+    * pair rule: after <ts> <ts> force text; after a lone <ts> force <ts>/eot
+    * monotonicity: the next timestamp may not precede the largest sampled
+      one (equality allowed only when completing a pair)
+    * first sampled token must be a timestamp within max_initial_timestamp
+      (openai-whisper masks everything below timestamp_begin here, EOT
+      included)
+    then the probability rule: if sum P(timestamps) > max P(text), only
+    timestamps survive (ApplyTimestampRules masks ALL ids below
+    timestamp_begin, EOT included).
+    """
     V = logits.shape[-1]
     ids = jnp.arange(V)
     is_ts = ids >= sp.timestamp_begin
 
-    # pair rule: after <ts> <ts> force text; after lone <ts> force <ts>/eot
     force_text = last_was_ts & penult_was_ts
     force_ts = last_was_ts & (~penult_was_ts)
-    m = jnp.where(force_text[:, None] & is_ts[None, :], NEG_INF, 0.0)
-    is_text = ids < sp.eot
-    m = m + jnp.where(force_ts[:, None] & is_text[None, :], NEG_INF, 0.0)
-
-    # monotonicity: when completing a <ts> pair the end may equal the start;
-    # otherwise the next timestamp must strictly increase (openai-whisper's
-    # ApplyTimestampRules semantics)
     strict = ~(last_was_ts & ~penult_was_ts)
     min_allowed = jnp.where(
         ts_seen, max_ts_tok + strict.astype(jnp.int32), sp.timestamp_begin
     )
-    too_small = is_ts[None, :] & (ids[None, :] < min_allowed[:, None])
-    m = m + jnp.where(too_small, NEG_INF, 0.0)
-
-    # first sampled token must be a timestamp, capped at max_initial_timestamp
-    # (openai-whisper masks everything below timestamp_begin here, EOT
-    # included — `logits[:, :timestamp_begin] = -inf`)
     init_cap = sp.timestamp_begin + max_initial_ts_idx
     first = step == 0
-    first_mask = jnp.where((~is_ts) | (ids > init_cap), NEG_INF, 0.0)
-    m = m + jnp.where(first, first_mask[None, :], 0.0)
 
-    logits = logits + m
+    banned = force_text[:, None] & is_ts[None, :]
+    banned = banned | (force_ts[:, None] & (ids < sp.eot)[None, :])
+    banned = banned | (is_ts[None, :] & (ids[None, :] < min_allowed[:, None]))
+    first_ban = (~is_ts) | (ids > init_cap)
+    if extra_first_ban is not None:
+        first_ban = first_ban | extra_first_ban
+    banned = banned | (first & first_ban)[None, :]
+    logits = jnp.where(banned, NEG_INF, logits)
 
-    # probability rule: if sum P(timestamps) > max P(text), force a timestamp
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     ts_logprob = jax.nn.logsumexp(
         jnp.where(is_ts[None, :], logprobs, NEG_INF), axis=-1
     )
     max_text = jnp.max(jnp.where(is_ts[None, :], NEG_INF, logprobs), axis=-1)
-    # (ApplyTimestampRules masks ALL ids below timestamp_begin, EOT included)
     force = ts_logprob > max_text
     logits = jnp.where(force[:, None] & (~is_ts[None, :]), NEG_INF, logits)
     return logits
@@ -172,19 +175,24 @@ def _prepare_logits(
     last_was_ts, penult_was_ts, max_ts_tok, ts_seen,
 ) -> jnp.ndarray:
     logits = raw_logits + suppress_mask[None, :]
-    if dc.suppress_blank:
-        # at the first sampled position, suppress " " and eot
-        blank_ids = jnp.array([dc.blank_id, sp.eot], jnp.int32)
-        blank_mask = jnp.zeros_like(logits).at[:, blank_ids].set(NEG_INF)
-        logits = jnp.where(step == 0, logits + blank_mask, logits)
+    V = logits.shape[-1]
+    ids = jnp.arange(V)
+    # step-0 blank suppression (" " and eot, `transcribe.rs:44`) folds into
+    # the grammar's fused first-token ban
+    blank_ban = (
+        (ids == dc.blank_id) | (ids == sp.eot) if dc.suppress_blank else None
+    )
     if dc.with_timestamps:
         logits = _timestamp_rule_mask(
             logits, sp, step, last_was_ts, penult_was_ts, max_ts_tok, ts_seen,
             int(round(dc.max_initial_timestamp / 0.02)),
+            extra_first_ban=blank_ban,
         )
     else:
-        ids = jnp.arange(logits.shape[-1])
-        logits = jnp.where(ids[None, :] >= sp.timestamp_begin, NEG_INF, logits)
+        banned = (ids >= sp.timestamp_begin)[None, :]
+        if blank_ban is not None:
+            banned = banned | ((step == 0) & blank_ban)[None, :]
+        logits = jnp.where(banned, NEG_INF, logits)
     return logits
 
 
@@ -310,7 +318,10 @@ def greedy_run(
             s["logits"], suppress_mask, sp, dc, s["step"],
             s["last_was_ts"], s["penult_was_ts"], s["max_ts_tok"], s["ts_seen"],
         )
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        # token logprob via the row normalizer — materializing the full
+        # [N, V] log_softmax just to read one column costs two extra
+        # full-vocab passes per step
+        lse = jax.nn.logsumexp(logits, axis=-1)
         if dc.temperature > 0:
             key, sub = jax.random.split(s["rng"])
             next_tok = jax.random.categorical(
@@ -321,8 +332,8 @@ def greedy_run(
             next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         tok_logprob = jnp.take_along_axis(
-            logprobs, next_tok[:, None], axis=-1
-        )[:, 0]
+            logits, next_tok[:, None], axis=-1
+        )[:, 0] - lse
         tok_prob = jnp.exp(tok_logprob)
 
         was_finished = s["finished"]
@@ -616,15 +627,18 @@ def beam_run(
             s["logits"], suppress_mask, sp, dc, s["step"],
             s["last_was_ts"], s["penult_was_ts"], s["max_ts_tok"], s["ts_seen"],
         )
-        logprobs = jax.nn.log_softmax(logits, axis=-1)  # [N, V]
-        cand = s["scores"][:, None] + logprobs  # [N, V]
-
         # 2K expansion so EOT candidates can retire without starving beams.
         # EXACT two-stage selection: per-beam top-2K over V, then top-2K over
         # the pooled K*2K — any global top-2K candidate is inside its own
         # beam's top-2K, and this runs ~5x faster than lax.top_k on the fused
-        # [B, K*V] row (0.9 vs 4.4 ms/step on large-v3 b16, v5e)
-        v1, i1 = jax.lax.top_k(cand, 2 * K)  # [N, 2K] per-beam
+        # [B, K*V] row (0.9 vs 4.4 ms/step on large-v3 b16, v5e). The
+        # per-row candidate ORDER equals the raw-logits order (the beam
+        # score and softmax normalizer are constant within a row), so the
+        # top-k runs on the logits and only the 2K selected values get the
+        # score/normalizer adjustment — no [N, V] logprob materialization.
+        lse = jax.nn.logsumexp(logits, axis=-1)  # [N]
+        v1, i1 = jax.lax.top_k(logits, 2 * K)  # [N, 2K] per-beam
+        v1 = v1 - lse[:, None] + s["scores"][:, None]
         v1 = v1.reshape(B, K * 2 * K)
         i1 = (i1 + (jnp.arange(N) % K)[:, None] * V).reshape(B, K * 2 * K)
         topv, sel = jax.lax.top_k(v1, 2 * K)  # [B, 2K] pooled
