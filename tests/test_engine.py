@@ -555,3 +555,31 @@ def test_openai_pt_loader(tmp_path):
     a = wm.encode(params, mel, cfg)
     b = wm.encode(loaded, mel, cfg2)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_speculative_draft_matches_plain(snapshot_dir, tmp_path, wav_path,
+                                         monkeypatch):
+    """EngineConfig(draft_model_path=...) must not change a single cue —
+    speculative decoding only ever emits the target's own choices."""
+    import whisper_diarize_tpu.ops.speculative as spec_mod
+    from whisper_diarize_tpu.types import AdvancedTranscribe
+
+    adv = AdvancedTranscribe(sampling_strategy="greedy")
+    opts = TranscribeOptions(enable_vad=False, lang="en", advanced=adv)
+    eng_plain = make_engine(snapshot_dir, tmp_path / "p")
+    cues_plain = eng_plain.transcribe_audio(wav_path, opts)
+
+    calls = {"n": 0}
+    orig = spec_mod.speculative_greedy_decode
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(spec_mod, "speculative_greedy_decode", spy)
+    # the snapshot drafts for itself: vocabularies trivially match
+    eng_spec = make_engine(
+        snapshot_dir, tmp_path / "s", draft_model_path=snapshot_dir)
+    cues_spec = eng_spec.transcribe_audio(wav_path, opts)
+    assert calls["n"] > 0, "speculative path never engaged"
+    assert [c.to_dict() for c in cues_spec] == [c.to_dict() for c in cues_plain]

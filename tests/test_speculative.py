@@ -1,0 +1,107 @@
+"""Speculative greedy decoding must be output-identical to plain greedy.
+
+The emitted tokens are always the TARGET's prepared-argmax choices, so the
+draft quality only affects speed — never the result. Verified with the
+strongest and weakest drafts: the target itself (near-100% acceptance) and
+unrelated random models (near-0% acceptance), plus a different-architecture
+draft and several gamma values.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_diarize_tpu.models import whisper as wm
+from whisper_diarize_tpu.ops import decode as dec
+from whisper_diarize_tpu.ops import speculative as spec
+from whisper_diarize_tpu.tokenizer import DebugTokenizer
+
+from tests.test_whisper_model import TINY_TEST_CFG
+
+DRAFT_CFG = wm.WhisperConfig(
+    n_mels=80, n_vocab=51865,
+    n_audio_ctx=1500, n_audio_state=32, n_audio_head=2, n_audio_layer=1,
+    n_text_ctx=448, n_text_state=32, n_text_head=2, n_text_layer=1,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = wm.init_params(TINY_TEST_CFG, seed=3)
+    mel = jnp.asarray(
+        np.random.default_rng(4).standard_normal((2, 80, 3000)), jnp.float32
+    )
+    xa = wm.encode(params, mel, TINY_TEST_CFG)
+    tk = DebugTokenizer()
+    prompt = jnp.asarray(
+        np.tile(np.array(tk.sot_sequence(task="transcribe", language="en"),
+                         np.int32), (2, 1)))
+    dc = dec.DecodeConfig(max_tokens=16, blank_id=32)
+    ref = dec.greedy_decode(
+        params, TINY_TEST_CFG, dc, tk.specials, xa, prompt, prompt.shape[1])
+    return params, xa, tk, prompt, dc, mel, ref
+
+
+def _assert_matches_greedy(res, ref):
+    np.testing.assert_array_equal(np.asarray(res.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(res.lengths), np.asarray(ref.lengths))
+    np.testing.assert_allclose(
+        np.asarray(res.sum_logprob), np.asarray(ref.sum_logprob),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res.token_probs), np.asarray(ref.token_probs),
+        rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res.no_speech_prob), np.asarray(ref.no_speech_prob),
+        rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("gamma", [1, 3, 4])
+def test_self_draft_matches_greedy(setup, gamma):
+    """Draft == target: near-total acceptance, identical output."""
+    params, xa, tk, prompt, dc, mel, ref = setup
+    res = spec.speculative_greedy_decode(
+        params, TINY_TEST_CFG, params, TINY_TEST_CFG, dc, tk.specials,
+        xa, xa, prompt, prompt.shape[1], gamma=gamma)
+    _assert_matches_greedy(res, ref)
+
+
+def test_unrelated_random_draft_matches_greedy(setup):
+    """A draft that agrees with nothing: every round emits exactly one
+    corrected token — output still identical."""
+    params, xa, tk, prompt, dc, mel, ref = setup
+    params_bad = wm.init_params(TINY_TEST_CFG, seed=99)
+    xa_bad = wm.encode(params_bad, mel, TINY_TEST_CFG)
+    res = spec.speculative_greedy_decode(
+        params, TINY_TEST_CFG, params_bad, TINY_TEST_CFG, dc, tk.specials,
+        xa, xa_bad, prompt, prompt.shape[1], gamma=3)
+    _assert_matches_greedy(res, ref)
+
+
+def test_smaller_architecture_draft_matches_greedy(setup):
+    """Different (smaller) draft architecture, own encoder."""
+    params, xa, tk, prompt, dc, mel, ref = setup
+    params_d = wm.init_params(DRAFT_CFG, seed=7)
+    xa_d = wm.encode(params_d, mel, DRAFT_CFG)
+    res = spec.speculative_greedy_decode(
+        params, TINY_TEST_CFG, params_d, DRAFT_CFG, dc, tk.specials,
+        xa, xa_d, prompt, prompt.shape[1], gamma=4)
+    _assert_matches_greedy(res, ref)
+
+
+def test_round_count_reflects_acceptance(setup):
+    """Self-draft needs ~max_tokens/gamma rounds; a hostile draft needs
+    ~max_tokens rounds (one correction each)."""
+    params, xa, tk, prompt, dc, mel, ref = setup
+    sup = jnp.asarray(dec.build_suppress_mask(tk.specials, TINY_TEST_CFG.n_vocab))
+    _, rounds_self = spec.speculative_greedy_run(
+        params, TINY_TEST_CFG, params, TINY_TEST_CFG, dc, tk.specials,
+        xa, xa, prompt, prompt.shape[1], sup, gamma=4)
+    params_bad = wm.init_params(TINY_TEST_CFG, seed=99)
+    xa_bad = wm.encode(params_bad, mel, TINY_TEST_CFG)
+    _, rounds_bad = spec.speculative_greedy_run(
+        params, TINY_TEST_CFG, params_bad, TINY_TEST_CFG, dc, tk.specials,
+        xa, xa_bad, prompt, prompt.shape[1], sup, gamma=4)
+    assert int(rounds_self) <= int(rounds_bad)
+    max_len = int(np.asarray(ref.lengths).max())
+    assert int(rounds_self) <= max(-(-max_len // 4) + 2, 3)

@@ -272,3 +272,52 @@ def test_decode_step_split_ancestry_parity(params, xa):
             anc=anc)
         np.testing.assert_allclose(
             np.asarray(la), np.asarray(lg), rtol=1e-5, atol=1e-5)
+
+
+def test_decode_step_pos_parity(params, xa):
+    """Per-row-position decode (speculative rounds) must reproduce
+    decode_step exactly when all rows share the same position, and must
+    place K/V at each row's own slots when they differ."""
+    cfg = TINY_TEST_CFG
+    cc = wm.cross_kv(params, xa, cfg)
+    B = xa.shape[0]
+    rng = np.random.default_rng(11)
+    toks = jnp.asarray(rng.integers(10, 200, (B, 3)), jnp.int32)
+    cache0 = wm.init_self_cache(cfg, B, xa.dtype, 32)
+
+    # uniform positions == scalar decode_step
+    l_ref, c_ref = wm.decode_step(params, cfg, toks, jnp.int32(4), cache0, cc)
+    l_pos, c_pos = wm.decode_step_pos(
+        params, cfg, toks, jnp.full((B,), 4, jnp.int32), cache0, cc)
+    np.testing.assert_allclose(
+        np.asarray(l_pos), np.asarray(l_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(c_pos["k"]), np.asarray(c_ref["k"]), rtol=1e-5, atol=1e-5)
+    # unrolled driver agrees
+    l_u, c_u = wm.decode_step_pos(
+        params, cfg, toks, jnp.full((B,), 4, jnp.int32), cache0, cc,
+        unroll=True)
+    np.testing.assert_allclose(
+        np.asarray(l_u), np.asarray(l_pos), rtol=1e-6, atol=1e-6)
+
+    # diverged positions: row b's result equals a lone decode at its own pos
+    pos = jnp.asarray([2, 6], jnp.int32)
+    # pre-fill both rows' prefixes at their own positions so attention has
+    # real history
+    pre = jnp.asarray(rng.integers(10, 200, (B, 6)), jnp.int32)
+    cache_a = cache0
+    for j in range(6):
+        _, cache_a = wm.decode_step_pos(
+            params, cfg, pre[:, j:j+1],
+            jnp.minimum(jnp.asarray([j, j], jnp.int32), pos), cache_a, cc)
+    l_div, _ = wm.decode_step_pos(params, cfg, toks, pos, cache_a, cc)
+    for b in range(B):
+        cache_b = wm.init_self_cache(cfg, 1, xa.dtype, 32)
+        ccb = jax.tree.map(lambda a: a[:, b:b+1], cc)
+        for j in range(int(pos[b])):
+            _, cache_b = wm.decode_step(
+                params, cfg, pre[b:b+1, j:j+1], jnp.int32(j), cache_b, ccb)
+        l_b, _ = wm.decode_step(
+            params, cfg, toks[b:b+1], jnp.int32(int(pos[b])), cache_b, ccb)
+        np.testing.assert_allclose(
+            np.asarray(l_div[b]), np.asarray(l_b[0]), rtol=1e-4, atol=1e-4)

@@ -37,6 +37,11 @@ def _add_transcribe(sub):
                    help="hard 30 s cuts instead of whisper.cpp seek advance")
     p.add_argument("--mesh", default=None, metavar="DxM",
                    help="multi-chip inference mesh, e.g. 4x1 (data x model)")
+    p.add_argument("--draft-model-dir", default=None,
+                   help="local snapshot of a smaller vocab-compatible model "
+                        "for speculative greedy decoding (exact output)")
+    p.add_argument("--spec-gamma", type=int, default=4,
+                   help="speculative proposals per verification pass")
     p.add_argument("--max-lines", type=int, default=None)
     p.add_argument("--max-chars-per-line", type=int, default=None)
     p.add_argument("-o", "--output", default="-", help="output JSON ('-' = stdout)")
@@ -69,6 +74,8 @@ def cmd_transcribe(args) -> int:
         sequential_prompt=args.sequential_prompt,
         long_form_seek=not args.no_seek,
         mesh_shape=mesh_shape,
+        draft_model_path=args.draft_model_dir,
+        speculative_gamma=args.spec_gamma,
     )
     opts = TranscribeOptions(
         model=args.model,

@@ -157,6 +157,14 @@ class EngineConfig:
     # the previous window's last sampled timestamp, so boundaries never land
     # mid-word (`transcribe.rs:46,389`). False -> hard 30 s cuts.
     long_form_seek: bool = True
+    # speculative greedy decoding: a local snapshot of a SMALLER whisper
+    # checkpoint sharing the target's vocabulary (e.g. large-v3-turbo
+    # drafting for large-v3) proposes speculative_gamma tokens per target
+    # pass (`ops/speculative.py`). Output is exact (always the target's own
+    # argmax); greedy/temperature-0 only, single-device, uniform prompts
+    # (falls back to plain greedy otherwise).
+    draft_model_path: Optional[str] = None
+    speculative_gamma: int = 4
 
 
 class Engine:
@@ -256,6 +264,10 @@ class Engine:
             blank_id=blank_id,
             pallas_cross=pallas_cross,
         )
+        draft = None
+        if (self.cfg.draft_model_path and self.cfg.mesh_shape is None
+                and strategy == "greedy" and temperature == 0.0):
+            draft = self._load_draft(cfg)
         mesh = None
         if self.cfg.mesh_shape is not None:
             from .parallel.mesh import make_mesh
@@ -276,7 +288,30 @@ class Engine:
             # whisper.cpp n_max_text_ctx: caps carried prompt context
             max_text_ctx=(adv.max_text_ctx if adv else None),
             mesh=mesh,
+            draft=draft,
+            spec_gamma=self.cfg.speculative_gamma,
         )
+
+    def _load_draft(self, target_cfg):
+        """Load (and memoize) the speculative draft model; None when the
+        vocabulary does not match the target's."""
+        from .models import weights as weights_mod
+
+        path = str(self.cfg.draft_model_path)
+        cached = getattr(self, "_draft_cache", None)
+        if cached and cached[0] == path:
+            entry = cached[1]
+        else:
+            dparams, dcfg = weights_mod.load_model(
+                Path(path), dtype=self._resolve_dtype())
+            entry = (dparams, dcfg)
+            self._draft_cache = (path, entry)
+        if entry[1].n_vocab != target_cfg.n_vocab:
+            logger.warning(
+                "draft model vocab %d != target %d; speculative decoding "
+                "disabled", entry[1].n_vocab, target_cfg.n_vocab)
+            return None
+        return entry
 
     # ------------------------------------------------------------------
     def transcribe_audio(
@@ -679,6 +714,10 @@ class Engine:
                 stage_s["mel"] += _time.perf_counter() - t0
                 t0 = _time.perf_counter()
                 xa = step.encode(mel)
+                xa_d = (
+                    step.encode_draft(audio_dev)
+                    if step.draft is not None else None
+                )
                 stage_s["encode"] += _time.perf_counter() - t0
 
                 # latch language per stream from its first window
@@ -717,12 +756,12 @@ class Engine:
                     res, row_temps = step.decode_with_fallback(
                         xa, row_langs, task, prev_tokens=row_prev,
                         n_valid_rows=len(decode_group),
-                        is_cancelled=cb.is_cancelled,
+                        is_cancelled=cb.is_cancelled, xa_d=xa_d,
                     )
                 else:
                     res = step.decode(
                         xa, row_langs, task, prev_tokens=row_prev,
-                        is_cancelled=cb.is_cancelled,
+                        is_cancelled=cb.is_cancelled, xa_d=xa_d,
                     )
                     row_temps = np.zeros((batch_size,), np.float32)
                 # a cancel that landed MID-decode aborts before emitting (the

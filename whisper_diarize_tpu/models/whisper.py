@@ -736,6 +736,100 @@ def decode_step(
     return logits, new_cache
 
 
+def decode_step_pos(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # [B, S] int32
+    pos0: jnp.ndarray,  # [B] int32: buffer slot of tokens[:, 0], PER ROW
+    self_cache: Dict[str, jnp.ndarray],
+    cross_cache: Dict[str, jnp.ndarray],
+    unroll: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """decode_step with PER-ROW base positions (speculative decoding).
+
+    Speculative rounds leave each row at a different accepted length, so
+    row b's S tokens occupy buffer slots pos0[b]..pos0[b]+S-1 — the K/V
+    write is a scatter instead of one dynamic_update_slice, the position
+    embeddings and the causal mask are per-row. With a constant pos0 this
+    reproduces `decode_step` exactly
+    (`tests/test_whisper_model.py::test_decode_step_pos_parity`).
+
+    Rows may carry stale K/V from previously rejected proposals at slots
+    > their current position; the causal mask (kpos <= pos0[b]+i) hides
+    them and later rounds overwrite them in place.
+
+    Returns (logits [B, S, V] f32, updated self_cache).
+    """
+    dec = params["decoder"]
+    dtype = dec["tok_emb"].dtype
+    B, S = tokens.shape
+    H = cfg.n_text_head
+    Tc = self_cache["k"].shape[-2]
+
+    qpos = pos0[:, None] + jnp.arange(S)[None, :]  # [B, S] buffer slots
+    # clamp: finished rows keep being fed in lockstep speculative rounds;
+    # their clamped writes land in the last slot, which is never read again
+    qpos = jnp.minimum(qpos, Tc - 1)
+    x = dec["tok_emb"][tokens] + jnp.take(
+        dec["pos_emb"], jnp.minimum(qpos, cfg.n_text_ctx - 1), axis=0
+    ).astype(dtype)
+    kpos = jnp.arange(Tc)[None, None, :]  # [1, 1, Tc]
+    mask = jnp.where(
+        kpos <= qpos[:, :, None], 0.0, -jnp.inf
+    ).astype(jnp.float32)[:, None]  # [B, 1, S, Tc]
+
+    cross_fn, cross_select, cross_stacked = _cross_attend_factory(
+        cfg, cross_cache, 1, dtype, S
+    )
+
+    b_idx = jnp.arange(B)[:, None]  # [B, 1] broadcast against qpos [B, S]
+
+    def write_kv(cache_l, new):  # [B, H, Tc, Dh] <- [B, H, S, Dh]
+        # numpy-style mixed indexing: advanced (b, t) pairs select per-row
+        # slots; XLA lowers to an in-place scatter
+        return cache_l.at[b_idx, :, qpos, :].set(
+            jnp.transpose(new, (0, 2, 1, 3)))
+
+    L = cfg.n_text_layer
+    if unroll:
+        kc, vc = self_cache["k"], self_cache["v"]
+        for l in range(L):
+            blk = jax.tree.map(lambda a: a[l], dec["blocks"])
+            q, k_new, v_new = _decoder_qkv(x, blk, H)
+            kc = kc.at[l].set(write_kv(kc[l], k_new))
+            vc = vc.at[l].set(write_kv(vc[l], v_new))
+            self_out = _attn(q, kc[l], vc[l], mask)
+            ck, cv = cross_select(l)
+            x = _decoder_layer_tail(
+                x, blk, self_out, cross_fn, ck, cv, jnp.int32(l), H)
+        new_cache = {"k": kc, "v": vc}
+    else:
+        def layer(carry, blk_and_cross):
+            x, = carry
+            blk, ck, cv, layer_idx = blk_and_cross
+            q, k_new, v_new = _decoder_qkv(x, blk, H)
+            k_cache = write_kv(blk["k_cache"], k_new)
+            v_cache = write_kv(blk["v_cache"], v_new)
+            self_out = _attn(q, k_cache, v_cache, mask)
+            x = _decoder_layer_tail(
+                x, blk, self_out, cross_fn, ck, cv, layer_idx, H)
+            return (x,), (k_cache, v_cache)
+
+        blocks = dict(dec["blocks"])
+        blocks["k_cache"] = self_cache["k"]
+        blocks["v_cache"] = self_cache["v"]
+        cross_k, cross_v = cross_stacked(L)
+        (x,), (k_caches, v_caches) = jax.lax.scan(
+            layer, (x,), (blocks, cross_k, cross_v, jnp.arange(L))
+        )
+        new_cache = {"k": k_caches, "v": v_caches}
+    x = _ln(x, dec["ln_s"], dec["ln_b"])
+    logits = jnp.einsum(
+        "bsd,vd->bsv", x, dec["tok_emb"], preferred_element_type=jnp.float32
+    )
+    return logits, new_cache
+
+
 def init_split_decode_cache(
     cfg: WhisperConfig, batch: int, dtype, max_len: int
 ) -> Dict[str, jnp.ndarray]:

@@ -145,7 +145,10 @@ def _timestamp_rule_mask(
         ts_seen, max_ts_tok + strict.astype(jnp.int32), sp.timestamp_begin
     )
     init_cap = sp.timestamp_begin + max_initial_ts_idx
-    first = step == 0
+    # `step` may be scalar (one loop position for all rows) or [N]
+    # (speculative rounds: rows sit at different sampled indices)
+    first = jnp.broadcast_to(
+        jnp.asarray(step) == 0, logits.shape[:1])  # [N]
 
     banned = force_text[:, None] & is_ts[None, :]
     banned = banned | (force_ts[:, None] & (ids < sp.eot)[None, :])
@@ -153,7 +156,7 @@ def _timestamp_rule_mask(
     first_ban = (~is_ts) | (ids > init_cap)
     if extra_first_ban is not None:
         first_ban = first_ban | extra_first_ban
-    banned = banned | (first & first_ban)[None, :]
+    banned = banned | (first[:, None] & first_ban[None, :])
     logits = jnp.where(banned, NEG_INF, logits)
 
     logprobs = jax.nn.log_softmax(logits, axis=-1)
@@ -189,11 +192,38 @@ def _prepare_logits(
             extra_first_ban=blank_ban,
         )
     else:
-        banned = (ids >= sp.timestamp_begin)[None, :]
+        banned = jnp.broadcast_to(
+            (ids >= sp.timestamp_begin)[None, :],
+            (raw_logits.shape[0], V)).copy()
         if blank_ban is not None:
-            banned = banned | ((step == 0) & blank_ban)[None, :]
+            first = jnp.broadcast_to(
+                jnp.asarray(step) == 0, raw_logits.shape[:1])
+            banned = banned | (first[:, None] & blank_ban[None, :])
         logits = jnp.where(banned, NEG_INF, logits)
     return logits
+
+
+def build_cross_cache(
+    params: Dict[str, Any], cfg: wm.WhisperConfig, dc: DecodeConfig,
+    xa: jnp.ndarray,
+) -> Dict[str, Any]:
+    """Cross-K/V cache in the layout the DecodeConfig selects.
+
+    pallas_cross -> the flash kernel's pre-tiled layout, computed straight
+    into it by `cross_kv_tiled` (skips the ~8 GB transpose of
+    tile_cross_cache, 108 -> 66 ms on large-v3 b16); quantize_cross_kv
+    stacks int8 on either layout (in-kernel dequant with the kernel,
+    memory-capacity-only without).
+    """
+    if dc.pallas_cross and dc.quantize_cross_kv:
+        # int8 payloads dequantized INSIDE the flash kernel (~55% of the
+        # bf16 stream); without the kernel, int8 stays a memory-only option
+        return wm.tile_quantize_cross_cache(wm.cross_kv(params, xa, cfg))
+    if dc.quantize_cross_kv:
+        return wm.quantize_cross_kv(wm.cross_kv(params, xa, cfg))
+    if dc.pallas_cross:
+        return wm.cross_kv_tiled(params, xa, cfg)
+    return wm.cross_kv(params, xa, cfg)
 
 
 @functools.partial(
@@ -232,18 +262,7 @@ def greedy_init(
     if row_pad is None:
         row_pad = jnp.zeros((B,), jnp.int32)
 
-    if dc.pallas_cross and dc.quantize_cross_kv:
-        # int8 payloads dequantized INSIDE the flash kernel (~55% of the
-        # bf16 stream); without the kernel, int8 stays a memory-only option
-        cross_cache = wm.tile_quantize_cross_cache(wm.cross_kv(params, xa, cfg))
-    elif dc.quantize_cross_kv:
-        cross_cache = wm.quantize_cross_kv(wm.cross_kv(params, xa, cfg))
-    elif dc.pallas_cross:
-        # computed straight into the kernel layout — skips the ~8 GB
-        # transpose of tile_cross_cache (108 -> 66 ms on large-v3 b16)
-        cross_cache = wm.cross_kv_tiled(params, xa, cfg)
-    else:
-        cross_cache = wm.cross_kv(params, xa, cfg)
+    cross_cache = build_cross_cache(params, cfg, dc, xa)
     # size the KV cache to the decode budget (64-aligned): every step streams
     # the whole cache, so unused slots are pure HBM waste
     # 16-aligned (bf16 sublane tile): every step streams the whole cache,
@@ -525,14 +544,7 @@ def beam_init(
     # round-2 "beams gain nothing" note predated the corrected kernel
     # bandwidth measurement — the kernel streams at ~740 GB/s vs the beam
     # einsum's ~400)
-    if dc.pallas_cross and dc.quantize_cross_kv:
-        cross_cache = wm.tile_quantize_cross_cache(wm.cross_kv(params, xa, cfg))
-    elif dc.quantize_cross_kv:
-        cross_cache = wm.quantize_cross_kv(wm.cross_kv(params, xa, cfg))
-    elif dc.pallas_cross:
-        cross_cache = wm.cross_kv_tiled(params, xa, cfg)
-    else:
-        cross_cache = wm.cross_kv(params, xa, cfg)
+    cross_cache = build_cross_cache(params, cfg, dc, xa)
     # SPLIT self-cache: the prompt half is prefillled ONCE PER STREAM (B
     # rows, 1/K of the old replicated prefill) and shared across its beams
     # forever — only the compact decode half [L, N, H, Td, Dh] is ever

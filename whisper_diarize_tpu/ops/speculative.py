@@ -1,0 +1,254 @@
+"""Speculative greedy decoding: a small draft Whisper proposes tokens, the
+target verifies them in one teacher-forced pass.
+
+Replaces nothing in the reference (whisper.cpp has no speculative mode) —
+this is a TPU-native throughput feature for production serving of the
+large checkpoints: `large-v3-turbo` shares large-v3's vocabulary and its
+FROZEN encoder, so with real weights it drafts for `large-v3` at ~7x lower
+per-token cost and high agreement; every round then advances up to `gamma`
+tokens for one target dispatch. The output is EXACT: emitted tokens are
+always the TARGET's own prepared-argmax choices (matched proposals merely
+let several of them be computed in one pass), so for any draft — good, bad,
+or adversarial — the result is bit-identical to `ops.decode.greedy_decode`
+(`tests/test_speculative.py` proves it with draft == target and with an
+unrelated random draft).
+
+Round structure (per while_loop iteration, all rows in lockstep, rows at
+PER-ROW positions — `models/whisper.py::decode_step_pos`):
+  1. the draft feeds [pending, p1 .. p_{gamma-1}] one token at a time,
+     proposing p1 .. p_gamma by prepared-argmax under the same timestamp
+     grammar (a proposal the grammar would ban could never be accepted);
+  2. the target feeds the same gamma tokens in ONE decode_step_pos call,
+     yielding its distributions for the next gamma positions;
+  3. position i emits the target's choice t_i while the row is still "in
+     agreement" (all earlier t_j matched p_{j+1}); the first mismatch emits
+     t_i as the correction and ends the row's round. The last emitted token
+     becomes the next round's `pending` (its K/V enters both caches when it
+     is fed next round; stale K/V of rejected proposals is masked by the
+     causal mask and overwritten in place later).
+
+Each round emits 1..gamma tokens per active row; `max_tokens` rounds bound
+the loop. Batch rows advance at different rates — the caches take per-row
+scatter writes and per-row causal masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import whisper as wm
+from ..tokenizer import SpecialTokens
+from . import decode as dec
+
+NEG_INF = float("-inf")
+
+
+def _advance_grammar(g: Dict[str, jnp.ndarray], tok: jnp.ndarray,
+                     active: jnp.ndarray, sp: SpecialTokens):
+    """One-token timestamp-grammar state update (rows where ~active keep
+    their state) — mirrors greedy_run's bookkeeping."""
+    is_ts = (tok >= sp.timestamp_begin) & active
+    return dict(
+        last_was_ts=jnp.where(active, tok >= sp.timestamp_begin,
+                              g["last_was_ts"]),
+        penult_was_ts=jnp.where(active, g["last_was_ts"], g["penult_was_ts"]),
+        max_ts_tok=jnp.where(is_ts, jnp.maximum(g["max_ts_tok"], tok),
+                             g["max_ts_tok"]),
+        ts_seen=g["ts_seen"] | is_ts,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg_t", "cfg_d", "dc", "sp", "prompt_len", "gamma",
+                     "sot_pos"),
+)
+def speculative_greedy_run(
+    params_t: Dict[str, Any],
+    cfg_t: wm.WhisperConfig,
+    params_d: Dict[str, Any],
+    cfg_d: wm.WhisperConfig,
+    dc: dec.DecodeConfig,
+    sp: SpecialTokens,
+    xa_t: jnp.ndarray,  # [B, Ta, D_t] target-encoded audio
+    xa_d: jnp.ndarray,  # [B, Ta, D_d] draft-encoded audio
+    prompt: jnp.ndarray,  # [B, P] int32 (uniform across rows)
+    prompt_len: int,
+    suppress_mask: jnp.ndarray,  # [V]
+    gamma: int = 4,
+    sot_pos: int = 0,
+) -> Tuple[dec.DecodeResult, jnp.ndarray]:
+    """Full speculative greedy decode (prefill + rounds + finalize).
+
+    Returns (DecodeResult identical to greedy_decode's, accepted-token
+    count per round diagnostics [B] = total emitted / rounds is the mean
+    acceptance; the second element is the number of rounds executed).
+    """
+    assert cfg_t.n_vocab == cfg_d.n_vocab, "draft must share the vocabulary"
+    B = xa_t.shape[0]
+    V = cfg_t.n_vocab
+    max_steps = min(dc.max_tokens, cfg_t.n_text_ctx - prompt_len - 1)
+    unroll = dec._resolve_unroll(dc)
+
+    # --- prefill both models (uniform prompt, scalar positions) ---------
+    cross_t = dec.build_cross_cache(params_t, cfg_t, dc, xa_t)
+    cross_d = wm.cross_kv(params_d, xa_d, cfg_d)  # draft is small: plain
+    tlen = min(cfg_t.n_text_ctx,
+               -(-(prompt_len + max_steps + gamma + 2) // 16) * 16)
+    cache_t = wm.init_self_cache(cfg_t, B, xa_t.dtype, tlen)
+    cache_d = wm.init_self_cache(cfg_d, B, xa_d.dtype, tlen)
+    logits_t, cache_t = wm.decode_step(
+        params_t, cfg_t, prompt, jnp.int32(0), cache_t, cross_t)
+    logits_d, cache_d = wm.decode_step(
+        params_d, cfg_d, prompt, jnp.int32(0), cache_d, cross_d)
+    no_speech_prob = jax.nn.softmax(
+        logits_t[:, sot_pos], axis=-1)[:, sp.no_speech]
+
+    # the first emitted token comes straight from the target's prefill
+    g0 = dict(
+        last_was_ts=jnp.zeros((B,), bool),
+        penult_was_ts=jnp.zeros((B,), bool),
+        max_ts_tok=jnp.full((B,), sp.timestamp_begin, jnp.int32),
+        ts_seen=jnp.zeros((B,), bool),
+    )
+    l0 = dec._prepare_logits(
+        logits_t[:, -1], suppress_mask, sp, dc, jnp.int32(0),
+        g0["last_was_ts"], g0["penult_was_ts"], g0["max_ts_tok"],
+        g0["ts_seen"])
+    t0 = jnp.argmax(l0, axis=-1).astype(jnp.int32)
+    lp0 = jnp.take_along_axis(l0, t0[:, None], 1)[:, 0] \
+        - jax.nn.logsumexp(l0, axis=-1)
+    g1 = _advance_grammar(g0, t0, jnp.ones((B,), bool), sp)
+    fin0 = t0 == sp.eot  # step-0 rules ban EOT, but stay defensive
+
+    state = dict(
+        rounds=jnp.int32(0),
+        n_emitted=jnp.ones((B,), jnp.int32),
+        pending=t0,
+        finished=fin0 | (max_steps <= 1),
+        tokens=jnp.full((B, max_steps), sp.eot, jnp.int32).at[:, 0].set(t0),
+        probs=jnp.zeros((B, max_steps), jnp.float32).at[:, 0].set(
+            jnp.exp(lp0)),
+        sum_logprob=lp0,
+        length=jnp.where(fin0, 0, 1).astype(jnp.int32),
+        cache_t=cache_t, cache_d=cache_d,
+        **g1,
+    )
+
+    b_idx = jnp.arange(B)
+
+    def cond(s):
+        return (s["rounds"] < max_steps) & ~jnp.all(s["finished"])
+
+    def body(s):
+        active = ~s["finished"]
+        base = prompt_len + s["n_emitted"] - 1  # slot of `pending`, per row
+
+        # --- 1. draft proposes gamma tokens, one step at a time ---------
+        g_d = {k: s[k] for k in
+               ("last_was_ts", "penult_was_ts", "max_ts_tok", "ts_seen")}
+        cache_d = s["cache_d"]
+        feed = s["pending"]
+        props = jnp.zeros((B, gamma), jnp.int32)
+        for i in range(gamma):
+            ld, cache_d = wm.decode_step_pos(
+                params_d, cfg_d, feed[:, None], base + i, cache_d, cross_d,
+                unroll=unroll)
+            li = dec._prepare_logits(
+                ld[:, 0], suppress_mask, sp, dc, s["n_emitted"] + i,
+                g_d["last_was_ts"], g_d["penult_was_ts"], g_d["max_ts_tok"],
+                g_d["ts_seen"])
+            pi = jnp.argmax(li, axis=-1).astype(jnp.int32)
+            props = props.at[:, i].set(pi)
+            g_d = _advance_grammar(g_d, pi, active, sp)
+            feed = pi
+
+        # --- 2. target verifies them in ONE pass ------------------------
+        feed_t = jnp.concatenate(
+            [s["pending"][:, None], props[:, : gamma - 1]], axis=1)
+        lt, cache_t = wm.decode_step_pos(
+            params_t, cfg_t, feed_t, base, s["cache_t"], cross_t,
+            unroll=unroll)
+
+        # --- 3. accept-while-matching; first divergence emits the
+        # target's correction and ends the row's round -------------------
+        g = {k: s[k] for k in
+             ("last_was_ts", "penult_was_ts", "max_ts_tok", "ts_seen")}
+        reach = active
+        tokens, probs = s["tokens"], s["probs"]
+        sum_logprob, length = s["sum_logprob"], s["length"]
+        n_emit = jnp.zeros((B,), jnp.int32)
+        pending = s["pending"]
+        finished = s["finished"]
+        for i in range(gamma):
+            li = dec._prepare_logits(
+                lt[:, i], suppress_mask, sp, dc, s["n_emitted"] + i,
+                g["last_was_ts"], g["penult_was_ts"], g["max_ts_tok"],
+                g["ts_seen"])
+            ti = jnp.argmax(li, axis=-1).astype(jnp.int32)
+            lpi = jnp.take_along_axis(li, ti[:, None], 1)[:, 0] \
+                - jax.nn.logsumexp(li, axis=-1)
+            idx = s["n_emitted"] + i
+            emit = reach & (idx < max_steps)
+            wr = jnp.minimum(idx, max_steps - 1)
+            tokens = tokens.at[b_idx, wr].set(
+                jnp.where(emit, ti, tokens[b_idx, wr]))
+            probs = probs.at[b_idx, wr].set(
+                jnp.where(emit, jnp.exp(lpi), probs[b_idx, wr]))
+            sum_logprob = sum_logprob + jnp.where(emit, lpi, 0.0)
+            is_eot = emit & (ti == sp.eot)
+            length = length + jnp.where(emit & ~is_eot, 1, 0)
+            g = _advance_grammar(g, ti, emit, sp)
+            pending = jnp.where(emit, ti, pending)
+            n_emit = n_emit + emit.astype(jnp.int32)
+            finished = finished | is_eot
+            matched = ti == props[:, i]
+            reach = reach & matched & ~is_eot & (idx + 1 < max_steps)
+
+        n_emitted = s["n_emitted"] + n_emit
+        finished = finished | (n_emitted >= max_steps)
+        return dict(
+            rounds=s["rounds"] + 1,
+            n_emitted=n_emitted,
+            pending=pending,
+            finished=finished,
+            tokens=tokens, probs=probs,
+            sum_logprob=sum_logprob, length=length,
+            cache_t=cache_t, cache_d=cache_d,
+            **g,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    avg = final["sum_logprob"] / jnp.maximum(
+        final["length"] + 1, 1).astype(jnp.float32)
+    result = dec.DecodeResult(
+        tokens=final["tokens"],
+        lengths=final["length"],
+        sum_logprob=final["sum_logprob"],
+        avg_logprob=avg,
+        token_probs=final["probs"],
+        no_speech_prob=no_speech_prob,
+    )
+    return result, final["rounds"]
+
+
+def speculative_greedy_decode(
+    params_t, cfg_t, params_d, cfg_d, dc, sp,
+    xa_t, xa_d, prompt, prompt_len,
+    suppress_mask: Optional[jnp.ndarray] = None,
+    gamma: int = 4,
+    sot_pos: int = 0,
+) -> dec.DecodeResult:
+    """Convenience wrapper matching `greedy_decode`'s result contract."""
+    if suppress_mask is None:
+        suppress_mask = jnp.asarray(
+            dec.build_suppress_mask(sp, cfg_t.n_vocab))
+    result, _ = speculative_greedy_run(
+        params_t, cfg_t, params_d, cfg_d, dc, sp, xa_t, xa_d,
+        prompt, prompt_len, suppress_mask, gamma=gamma, sot_pos=sot_pos)
+    return result

@@ -131,6 +131,8 @@ class TranscribeStep:
         strategy: str = "beam_search",
         max_text_ctx: Optional[int] = None,
         mesh=None,  # jax.sharding.Mesh — multi-chip inference (SURVEY §2.5)
+        draft=None,  # (params, cfg) of a vocab-compatible draft model
+        spec_gamma: int = 4,  # speculative proposals per round
     ):
         self.params = params
         self.cfg = cfg
@@ -171,6 +173,15 @@ class TranscribeStep:
         self._detect = jax.jit(
             lambda p, xa: wm.detect_language_logits(p, cfg, xa, sot_id)
         )
+        # speculative greedy decoding (`ops/speculative.py`): the draft
+        # proposes spec_gamma tokens per target verification pass; output is
+        # exact (always the target's own argmax). Greedy-only, single-device.
+        self.draft = draft if mesh is None else None
+        self.spec_gamma = spec_gamma
+        if self.draft is not None:
+            dparams, dcfg = self.draft
+            self._encode_d = jax.jit(
+                lambda p, m: wm.encode(p, m, dcfg))
 
     # -- model invocations ---------------------------------------------------
     def _place_batch(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -196,6 +207,15 @@ class TranscribeStep:
 
     def encode(self, mel: jnp.ndarray) -> jnp.ndarray:
         return self._encode(self.params, mel)
+
+    def encode_draft(self, audio_dev: jnp.ndarray) -> jnp.ndarray:
+        """Draft-model encoding from the already-uploaded audio (the draft
+        may use a different mel bank count than the target)."""
+        from .ops.pallas_mel import frontend
+
+        dparams, dcfg = self.draft
+        mel_d = frontend(audio_dev, n_mels=dcfg.n_mels)
+        return self._encode_d(dparams, mel_d)
 
     def _build_prompt(
         self,
@@ -264,11 +284,26 @@ class TranscribeStep:
         prev_tokens: Optional[Sequence[int]] = None,
         rng: Optional[jnp.ndarray] = None,
         is_cancelled=None,  # poll mid-decode (`transcribe.rs:348-350` parity)
+        xa_d: Optional[jnp.ndarray] = None,  # draft-encoded audio
     ) -> dec.DecodeResult:
         B = xa.shape[0]
         prompt, prompt_len, sot_pos, row_pad = self._build_prompt(
             B, language, task, prev_tokens
         )
+        if (self.strategy == "greedy" and self.draft is not None
+                and xa_d is not None and self.dc.temperature == 0
+                and row_pad is None):
+            # speculative rounds need uniform prompts (per-row row_pad
+            # prompts fall back to plain greedy); cancellation lands
+            # between windows rather than mid-decode here
+            from .ops import speculative as spec_mod
+
+            dparams, dcfg = self.draft
+            return spec_mod.speculative_greedy_decode(
+                self.params, self.cfg, dparams, dcfg, self.dc, self.sp,
+                xa, xa_d, prompt, prompt_len, suppress_mask=self._suppress,
+                gamma=self.spec_gamma, sot_pos=sot_pos,
+            )
         if self.strategy == "greedy":
             if self.dc.temperature > 0 and self.dc.beam_size > 1:
                 # best_of_or_beam_size doubles as best_of for sampling
@@ -302,6 +337,7 @@ class TranscribeStep:
         n_valid_rows: Optional[int] = None,
         best_of: Optional[int] = None,
         is_cancelled=None,
+        xa_d: Optional[jnp.ndarray] = None,  # draft audio for the t=0 pass
     ) -> Tuple[dec.DecodeResult, np.ndarray]:
         """Temperature-fallback decoding (whisper.cpp runs the same policy
         inside `state.full`, which the reference relies on at
@@ -325,7 +361,7 @@ class TranscribeStep:
 
         result = self.decode(
             xa, language, task, prev_tokens=prev_tokens,
-            is_cancelled=is_cancelled,
+            is_cancelled=is_cancelled, xa_d=xa_d,
         )
         B = xa.shape[0]
         n_valid_rows = B if n_valid_rows is None else n_valid_rows
