@@ -265,9 +265,16 @@ class Engine:
             pallas_cross=pallas_cross,
         )
         draft = None
-        if (self.cfg.draft_model_path and self.cfg.mesh_shape is None
-                and strategy == "greedy" and temperature == 0.0):
-            draft = self._load_draft(cfg)
+        if self.cfg.draft_model_path:
+            if (self.cfg.mesh_shape is None and strategy == "greedy"
+                    and temperature == 0.0):
+                draft = self._load_draft(cfg)
+            else:
+                logger.warning(
+                    "draft_model_path set but speculative decoding needs "
+                    "greedy strategy, temperature 0 and no mesh "
+                    "(strategy=%s, temperature=%s, mesh=%s) — ignoring",
+                    strategy, temperature, self.cfg.mesh_shape)
         mesh = None
         if self.cfg.mesh_shape is not None:
             from .parallel.mesh import make_mesh
@@ -714,8 +721,11 @@ class Engine:
                 stage_s["mel"] += _time.perf_counter() - t0
                 t0 = _time.perf_counter()
                 xa = step.encode(mel)
+                # LAZY: the decode path only evaluates this when the
+                # speculative branch actually engages (per-row prompts fall
+                # back to plain greedy and must not pay a draft encode)
                 xa_d = (
-                    step.encode_draft(audio_dev)
+                    (lambda a=audio_dev: step.encode_draft(a))
                     if step.draft is not None else None
                 )
                 stage_s["encode"] += _time.perf_counter() - t0

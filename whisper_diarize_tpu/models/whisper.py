@@ -610,6 +610,17 @@ def _decoder_layer_tail(x, blk, self_out, cross_fn, ck, cv, layer_idx, H):
     return x
 
 
+# The cached-decoder DRIVER FAMILY — three variants share the layer math
+# (_decoder_qkv / _decoder_layer_tail / _cross_attend_factory) and differ
+# only in cache access pattern, each chosen for its hot path's performance:
+#   decode_step        scalar position, one dynamic_update_slice per layer
+#                      (greedy loop, prefill)
+#   decode_step_split  beam search: beam-shared prompt cache + per-beam
+#                      decode cache with ancestry-pointer reads
+#   decode_step_pos    per-row positions with scatter writes (speculative)
+# They are pinned together by parity tests (test_decode_step_unroll_parity,
+# test_decode_step_split_parity, test_decode_step_pos_parity) — a change to
+# shared semantics must keep all three green.
 def decode_step(
     params: Params,
     cfg: WhisperConfig,

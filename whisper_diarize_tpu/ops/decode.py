@@ -263,10 +263,9 @@ def greedy_init(
         row_pad = jnp.zeros((B,), jnp.int32)
 
     cross_cache = build_cross_cache(params, cfg, dc, xa)
-    # size the KV cache to the decode budget (64-aligned): every step streams
-    # the whole cache, so unused slots are pure HBM waste
-    # 16-aligned (bf16 sublane tile): every step streams the whole cache,
-    # so 64-alignment padded up to ~2x dead slots at short prompts
+    # size the KV cache to the decode budget, 16-aligned (bf16 sublane
+    # tile): every step streams the whole cache, so padding slots are pure
+    # HBM waste (64-alignment wasted up to ~2x at short prompts)
     cache_len = min(cfg.n_text_ctx, -(-(prompt_len + max_steps + 1) // 16) * 16)
     cache = wm.init_self_cache(cfg, B, xa.dtype, cache_len)
 

@@ -9,9 +9,11 @@ per-token cost and high agreement; every round then advances up to `gamma`
 tokens for one target dispatch. The output is EXACT: emitted tokens are
 always the TARGET's own prepared-argmax choices (matched proposals merely
 let several of them be computed in one pass), so for any draft — good, bad,
-or adversarial — the result is bit-identical to `ops.decode.greedy_decode`
-(`tests/test_speculative.py` proves it with draft == target and with an
-unrelated random draft).
+or adversarial — the result matches `ops.decode.greedy_decode` up to the
+floating-point reduction order of the batched S=gamma verify pass (an
+argmax whose top-2 logits tie within a last-ulp rounding difference could
+flip; `tests/test_speculative.py` demonstrates token-exact agreement for
+self/hostile/smaller drafts on the CPU f32 path).
 
 Round structure (per while_loop iteration, all rows in lockstep, rows at
 PER-ROW positions — `models/whisper.py::decode_step_pos`):

@@ -284,7 +284,7 @@ class TranscribeStep:
         prev_tokens: Optional[Sequence[int]] = None,
         rng: Optional[jnp.ndarray] = None,
         is_cancelled=None,  # poll mid-decode (`transcribe.rs:348-350` parity)
-        xa_d: Optional[jnp.ndarray] = None,  # draft-encoded audio
+        xa_d=None,  # draft-encoded audio: array or lazy () -> array
     ) -> dec.DecodeResult:
         B = xa.shape[0]
         prompt, prompt_len, sot_pos, row_pad = self._build_prompt(
@@ -294,15 +294,17 @@ class TranscribeStep:
                 and xa_d is not None and self.dc.temperature == 0
                 and row_pad is None):
             # speculative rounds need uniform prompts (per-row row_pad
-            # prompts fall back to plain greedy); cancellation lands
-            # between windows rather than mid-decode here
+            # prompts fall back to plain greedy); NOTE: cancellation lands
+            # at WINDOW boundaries on this path, not the ~1 s budget
+            # windows of plain greedy (documented in README/EngineConfig)
             from .ops import speculative as spec_mod
 
             dparams, dcfg = self.draft
             return spec_mod.speculative_greedy_decode(
                 self.params, self.cfg, dparams, dcfg, self.dc, self.sp,
-                xa, xa_d, prompt, prompt_len, suppress_mask=self._suppress,
-                gamma=self.spec_gamma, sot_pos=sot_pos,
+                xa, xa_d() if callable(xa_d) else xa_d, prompt, prompt_len,
+                suppress_mask=self._suppress, gamma=self.spec_gamma,
+                sot_pos=sot_pos,
             )
         if self.strategy == "greedy":
             if self.dc.temperature > 0 and self.dc.beam_size > 1:
