@@ -474,10 +474,11 @@ def _cross_attend_factory(cfg: WhisperConfig, cross_cache: Dict[str, jnp.ndarray
     quantized = "k_q" in cross_cache
     tiled = "k5" in cross_cache  # Pallas flash-decode layout (bf16)
     tiled_q8 = "k8" in cross_cache  # Pallas flash-decode layout (int8)
-    # the kernel serves the hot single-token steps; prefill (S > 1, once per
-    # window) would overflow VMEM at beams x prompt queries — it runs as an
-    # XLA einsum directly over the tiled layout instead
-    use_kernel = (tiled or tiled_q8) and S == 1
+    # the kernel folds beams x positions into its query axis; it serves the
+    # hot single-token steps AND short prefills — long prompts (S x beams
+    # beyond ~64 queries) would blow the f32 score scratch past VMEM and
+    # run as an XLA einsum over the tiled layout instead
+    use_kernel = (tiled or tiled_q8) and S * beams <= 64
 
     def _cross_tiled_einsum(cq: jnp.ndarray, k5l, v5l) -> jnp.ndarray:
         """cq [N, H, S, Dh] vs layer-sliced tiled K/V [B, NT, H, Dh, TT]."""
