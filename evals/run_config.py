@@ -69,6 +69,9 @@ def main() -> int:
         enable_dtw=c["dtw"],
         batch_size=c.get("batch", 8),
         max_decode_tokens=args.max_tokens,
+        vad_model_path=os.environ.get("WDT_VAD_MODEL"),
+        diarize_segment_model_path=os.environ.get("WDT_SEG_MODEL"),
+        diarize_embedding_model_path=os.environ.get("WDT_EMB_MODEL"),
     ))
     opts = TranscribeOptions(
         model=c["model"],

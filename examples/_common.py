@@ -54,6 +54,9 @@ def make_engine(args):
         # offline-friendly: random diarization weights unless real ones given
         cfg.diarize_segment_model_path = os.environ.get("WDT_SEG_MODEL", "__random__")
         cfg.diarize_embedding_model_path = os.environ.get("WDT_EMB_MODEL", "__random__")
+    # offline-friendly: random VAD weights unless real ones given (set
+    # WDT_VAD_MODEL to a converted .npz or the reference's silero GGML)
+    cfg.vad_model_path = os.environ.get("WDT_VAD_MODEL", "__random__")
     return Engine(cfg)
 
 

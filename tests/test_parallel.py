@@ -404,6 +404,7 @@ def test_sequential_prompt_batch_matches_serial(tmp_path):
             cache_dir=str(tmp_path / "cache"), whisper_model_path=str(snap),
             enable_dtw=False, batch_size=4, max_decode_tokens=8,
             sequential_prompt=True, temperature_fallback=False,
+            vad_model_path="__random__",
         ))
 
     opts = TranscribeOptions(enable_vad=True, lang="en")

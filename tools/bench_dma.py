@@ -1,13 +1,19 @@
 """HBM streaming-bandwidth microbenchmark: XLA vs Pallas pipelining variants.
 
+CONCLUSION (round-2 continuation, stable slope timing): all three variants
+converge to ~740 GB/s ≈ 90% of the v5e 819 GB/s peak — there is NO
+bandwidth headroom in the cross-KV stream and manual DMA is NOT a lever.
+An earlier reading of "Pallas ~440 GB/s vs XLA ~700" was tunnel-dispatch
+jitter at low rep counts (retracted; see `ops/pallas_attn.py` docstring and
+CLAUDE.md). This file remains as the measurement harness + methodology
+record.
+
 Measures the effective read bandwidth of streaming a cross-KV-sized array
 (the decode loop's dominant traffic) three ways:
 
-  A. XLA fused reduction (`jnp.sum`) — the ~700 GB/s reference point.
-  B. Auto-pipelined Pallas (grid + BlockSpec, like `ops/pallas_attn.py`) —
-     measured ~440 GB/s in round 2 regardless of tile size.
-  C. Manual multi-buffered DMA (`pltpu.make_async_copy`, N slots deep) —
-     the candidate fix: keep >2 transfers in flight.
+  A. XLA fused reduction (`jnp.sum`).
+  B. Auto-pipelined Pallas (grid + BlockSpec, like `ops/pallas_attn.py`).
+  C. Manual multi-buffered DMA (`pltpu.make_async_copy`, N slots deep).
 
 Run on the real TPU:  python tools/bench_dma.py
 Timing rules (CLAUDE.md): only a host fetch synchronizes, and every

@@ -24,6 +24,19 @@ def _add_transcribe(sub):
     p.add_argument("--no-vad", action="store_true")
     p.add_argument("--diarize", action="store_true")
     p.add_argument("--max-speakers", type=int, default=None)
+    p.add_argument("--vad-model", default=None,
+                   help="Silero VAD weights: converted .npz or the "
+                        "reference's ggml-silero-v5.1.2.bin (default: "
+                        "download from ggml-org/whisper-vad)")
+    p.add_argument("--seg-model", default=None,
+                   help="segmentation weights: .npz or segmentation-3.0.onnx")
+    p.add_argument("--emb-model", default=None,
+                   help="speaker-embedding weights: .npz or "
+                        "wespeaker_en_voxceleb_CAM++.onnx")
+    p.add_argument("--random-weights", action="store_true",
+                   help="allow RANDOM weights when VAD/diarization models "
+                        "can't load (architecture-only runs; outputs are "
+                        "untrained noise)")
     p.add_argument("--no-dtw", action="store_true")
     p.add_argument("--beam-size", type=int, default=5)
     p.add_argument("--greedy", action="store_true")
@@ -76,6 +89,10 @@ def cmd_transcribe(args) -> int:
         mesh_shape=mesh_shape,
         draft_model_path=args.draft_model_dir,
         speculative_gamma=args.spec_gamma,
+        vad_model_path=args.vad_model,
+        diarize_segment_model_path=args.seg_model,
+        diarize_embedding_model_path=args.emb_model,
+        allow_random_weights=args.random_weights,
     )
     opts = TranscribeOptions(
         model=args.model,

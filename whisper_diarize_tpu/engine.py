@@ -165,6 +165,14 @@ class EngineConfig:
     # (falls back to plain greedy otherwise).
     draft_model_path: Optional[str] = None
     speculative_gamma: int = 4
+    # Weight-ingestion policy for the VAD/diarization nets. The reference's
+    # artifacts (`segmentation-3.0.onnx`, `wespeaker_en_voxceleb_CAM++.onnx`,
+    # `ggml-silero-v5.1.2.bin`) are converted-and-cached on first use
+    # (`models/convert.py`); .npz files load directly. Unloadable weights
+    # RAISE like the reference does on absent models (`engine.rs:94-100`) —
+    # random-init noise is only available via this explicit flag or the
+    # "__random__" path sentinel (tests/architecture-only runs).
+    allow_random_weights: bool = False
 
 
 class Engine:
@@ -360,25 +368,38 @@ class Engine:
                 UNBOUNDED_SPEAKERS if not options.max_speakers else options.max_speakers
             ),
         )
-        from .models import segmentation as segmentation_mod
+        from .models import convert as convert_mod
 
-        seg_params = (
-            segmentation_mod.load_params(seg_path)
-            if seg_path and os.path.exists(seg_path) and seg_path.endswith(".npz")
-            else segmentation_mod.init_params()
+        # .npz loads directly; the reference's .onnx artifact is converted
+        # and cached on first use; anything else raises (WeightIngestError)
+        # unless allow_random_weights / "__random__" opts into noise weights
+        seg_params = convert_mod.load_segmentation_params(
+            seg_path, allow_random=self.cfg.allow_random_weights
         )
         return diarize_options, seg_params
 
     def _resolve_vad_model(self, cb: Callbacks):
+        """Resolve the Silero VAD weights source. Returns a path (or the
+        "__random__" sentinel) consumed by `vad.get_segments`; a failed
+        download raises unless `allow_random_weights` opts into noise."""
         vad_model = self.cfg.vad_model_path
         if vad_model is None:
             try:
                 vad_model = str(
                     self.models.ensure_vad_model(cb.progress, cb.is_cancelled)
                 )
-            except Exception:
-                logger.warning("VAD weights unavailable; using random init")
-                vad_model = None
+            except Exception as e:
+                if not self.cfg.allow_random_weights:
+                    raise RuntimeError(
+                        "VAD weights unavailable (download of "
+                        "ggml-silero-v5.1.2.bin failed) and "
+                        "allow_random_weights is off"
+                    ) from e
+                logger.warning(
+                    "VAD weights unavailable (%s); allow_random_weights is "
+                    "set — using RANDOM weights", e,
+                )
+                vad_model = "__random__"
         return vad_model
 
     def _transcribe_paths(
@@ -546,12 +567,11 @@ class Engine:
         if diarize_options is not None:
             from .diarize import EmbeddingManager
             from .models import campplus
+            from .models import convert as convert_mod
 
             emb_path = diarize_options.embedding_model_path
-            emb_params = (
-                campplus.load_params(emb_path)
-                if emb_path and os.path.exists(emb_path) and emb_path.endswith(".npz")
-                else campplus.init_params()
+            emb_params = convert_mod.load_campplus_params(
+                emb_path, allow_random=self.cfg.allow_random_weights
             )
             emb_managers = [
                 EmbeddingManager(diarize_options.max_speakers) for _ in range(S)

@@ -405,15 +405,17 @@ class ModelManager:
         self,
         progress: Optional[LabeledProgressFn] = None,
         is_cancelled: Optional[Callable[[], bool]] = None,
-        repo_id: str = "whisper-diarize-tpu/silero-vad-jax",
-        filename: str = "silero_v5_jax.npz",
+        repo_id: str = "ggml-org/whisper-vad",
+        filename: str = "ggml-silero-v5.1.2.bin",
     ) -> Path:
-        """Ensure the converted Silero VAD weights (the reference pulls
-        `ggml-silero-v5.1.2.bin` from `ggml-org/whisper-vad`,
-        `model_manager.rs:303-319`)."""
+        """Ensure the Silero VAD weights — the reference's exact artifact
+        (`ggml-silero-v5.1.2.bin` from `ggml-org/whisper-vad`,
+        `model_manager.rs:303-319`). The GGML file is parsed directly
+        (`models/convert.py::silero_npz_from_ggml`, cached as .npz on first
+        use by `vad.get_segments`)."""
         return self.ensure_hub_file(
             repo_id, filename, progress, is_cancelled,
-            label="Downloading VAD model", min_bytes=1,
+            label="Downloading VAD model",
         )
 
     def ensure_diarize_models(

@@ -214,7 +214,12 @@ def forward(params: Dict[str, Any], audio: jnp.ndarray) -> jnp.ndarray:
     x = audio[:, :, None]  # [B, T, 1]
     # PyanNet wav_norm1d: instance-normalize the raw waveform
     x = _instance_norm(x, params["wav_norm"]) if "wav_norm" in params else x
-    k = _sinc_kernel(params["sinc"]["low_hz"], params["sinc"]["band_hz"])
+    # converted ONNX artifacts may carry a pre-materialized filterbank
+    # (`models/convert.py::segmentation_npz_from_onnx`) instead of the
+    # low_hz/band_hz parameters the kernel is normally built from
+    sinc = params["sinc"]
+    k = (sinc["kernel"] if "kernel" in sinc
+         else _sinc_kernel(sinc["low_hz"], sinc["band_hz"]))
     x = jax.lax.conv_general_dilated(
         x, k, window_strides=(SINC_STRIDE,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),

@@ -647,6 +647,11 @@ def beam_run(
         # score and softmax normalizer are constant within a row), so the
         # top-k runs on the logits and only the 2K selected values get the
         # score/normalizer adjustment — no [N, V] logprob materialization.
+        # Tie-breaking caveat: candidates tied EXACTLY at the 2K boundary
+        # may resolve differently than a fused lax.top_k over [B, K*V]
+        # (selection happens per beam first); float ties at that boundary
+        # are measure-zero with real logits and both resolutions are valid
+        # beam sets (ADVICE r2).
         lse = jax.nn.logsumexp(logits, axis=-1)  # [N]
         v1, i1 = jax.lax.top_k(logits, 2 * K)  # [N, 2K] per-beam
         v1 = v1 - lse[:, None] + s["scores"][:, None]

@@ -2,10 +2,20 @@
 
 Every decode step streams the whole cross K/V cache — the dominant HBM
 traffic of decoding (~492 MB/step at batch 16 on large-v3-turbo, ~4 GB/step
-on large-v3). XLA's einsum chain runs this at ~270 GB/s effective; this
-kernel fuses score matvec -> online softmax -> value matvec into one pass
-over pre-tiled K/V blocks and reaches ~440 GB/s (measured, v5e through the
-dev tunnel), i.e. ~1.6x on the decode bottleneck.
+on large-v3). The kernel fuses score matvec -> online softmax -> value
+matvec into one pass over pre-tiled K/V blocks.
+
+Where the win actually comes from (measured r2-cont., slope method over
+64/320 reps — `tools/bench_attn_kernel.py`): the RAW STREAM bandwidth of
+this kernel, manual make_async_copy variants, and XLA's fused einsum all
+converge to ~740 GB/s ≈ 90% of the v5e 819 GB/s HBM peak — bandwidth is NOT
+the lever (an earlier ~270-vs-440 GB/s reading was tunnel-dispatch jitter
+at low rep counts; retracted). The end-to-end decode-step win (~1.5-1.7x on
+the cross-attention portion) comes from (a) the pre-tiled layout avoiding
+the per-step XLA transpose/copy chain, (b) the scalar-prefetched layer
+index avoiding a materialized per-layer cache slice per scan step, and
+(c) one fused pass instead of several dispatches. Measure changes as whole
+jitted decode-step time, never single-op GB/s (CLAUDE.md timing rules).
 
 Design points:
 * **Pre-tiled contiguous layout** `[L, B, NT, H, Dh, T_TILE]`

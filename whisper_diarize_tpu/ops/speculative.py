@@ -92,6 +92,13 @@ def speculative_greedy_run(
     acceptance; the second element is the number of rounds executed).
     """
     assert cfg_t.n_vocab == cfg_d.n_vocab, "draft must share the vocabulary"
+    if dc.temperature != 0:
+        # this path is argmax-only; silently ignoring a sampling temperature
+        # would change semantics for direct API callers (ADVICE r2)
+        raise ValueError(
+            "speculative decoding is greedy/argmax-only: "
+            f"DecodeConfig.temperature must be 0 (got {dc.temperature})"
+        )
     B = xa_t.shape[0]
     V = cfg_t.n_vocab
     max_steps = min(dc.max_tokens, cfg_t.n_text_ctx - prompt_len - 1)

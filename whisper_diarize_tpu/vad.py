@@ -151,14 +151,18 @@ def get_segments(
 ) -> Tuple[List[Tuple[float, float]], List[SpeechSegment]]:
     """Full VAD pass: i16 mono 16 kHz samples -> (raw_mask, merged_segments).
 
-    `vad_model` is a Silero params pytree, a path to a converted .npz, or
-    None for random weights (architecture-only runs). Mirrors
-    `vad::get_segments` (`vad.rs:6-84`).
+    `vad_model` is a Silero params pytree, a path (a converted .npz OR the
+    reference's `ggml-silero-v5.1.2.bin`, converted-and-cached on first
+    use), the "__random__" sentinel, or None — the last two give random
+    weights for architecture-only runs. Mirrors `vad::get_segments`
+    (`vad.rs:6-84`).
     """
     if vad_model is None:
         model_params = silero_vad.init_params()
     elif isinstance(vad_model, (str,)):
-        model_params = silero_vad.load_params(vad_model)
+        from .models import convert as convert_mod
+
+        model_params = convert_mod.load_silero_params(vad_model)
     else:
         model_params = vad_model
 
