@@ -258,11 +258,19 @@ class Engine:
         # (`ops/pallas_attn.py`); TPU only — WDT_DISABLE_PALLAS_ATTN=1 opts out
         import jax as _jax
 
-        # (disabled under mesh_shape: a pallas_call inside a GSPMD-sharded
-        # jit needs shard_map plumbing — future work; XLA path shards fine)
+        mesh = None
+        if self.cfg.mesh_shape is not None:
+            from .parallel.mesh import make_mesh
+
+            n_data, n_model = self.cfg.mesh_shape
+            mesh = make_mesh(n_data=n_data, n_model=n_model)
+            if self.cfg.batch_size % max(n_data, 1):
+                raise ValueError(
+                    f"batch_size {self.cfg.batch_size} must be divisible by "
+                    f"the mesh data axis {n_data}"
+                )
         pallas_cross = (
             _jax.default_backend() == "tpu"
-            and self.cfg.mesh_shape is None
             and os.environ.get("WDT_DISABLE_PALLAS_ATTN") != "1"
         )
         dc = dec.DecodeConfig(
@@ -271,6 +279,11 @@ class Engine:
             max_tokens=self.cfg.max_decode_tokens,
             blank_id=blank_id,
             pallas_cross=pallas_cross,
+            # under a mesh the kernel runs per shard via shard_map (batch
+            # rows over the data axis, heads over the model axis) — the
+            # mesh path keeps the flash-decode win instead of falling back
+            # to the XLA cross-KV stream
+            mesh=mesh if pallas_cross else None,
         )
         draft = None
         if self.cfg.draft_model_path:
@@ -283,17 +296,6 @@ class Engine:
                     "greedy strategy, temperature 0 and no mesh "
                     "(strategy=%s, temperature=%s, mesh=%s) — ignoring",
                     strategy, temperature, self.cfg.mesh_shape)
-        mesh = None
-        if self.cfg.mesh_shape is not None:
-            from .parallel.mesh import make_mesh
-
-            n_data, n_model = self.cfg.mesh_shape
-            mesh = make_mesh(n_data=n_data, n_model=n_model)
-            if self.cfg.batch_size % max(n_data, 1):
-                raise ValueError(
-                    f"batch_size {self.cfg.batch_size} must be divisible by "
-                    f"the mesh data axis {n_data}"
-                )
         return TranscribeStep(
             params, cfg, tokenizer,
             model_name=options.model,

@@ -459,7 +459,7 @@ def _dequant(payload: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def _cross_attend_factory(cfg: WhisperConfig, cross_cache: Dict[str, jnp.ndarray],
-                          beams: int, dtype, S: int):
+                          beams: int, dtype, S: int, mesh=None):
     """Build the cross-attention dispatch for one decode_step call.
 
     Returns (cross_fn, select_layer, stacked):
@@ -521,11 +521,13 @@ def _cross_attend_factory(cfg: WhisperConfig, cross_cache: Dict[str, jnp.ndarray
                 cross_cache["k8"], cross_cache["ks"],
                 cross_cache["v8"], cross_cache["vs"],
                 ta_total=cfg.n_audio_ctx, interpret=_pallas_interpret(),
+                mesh=mesh,
             )
         else:
             out = cross_attn_layer(
                 layer_idx, qf, cross_cache["k5"], cross_cache["v5"],
                 ta_total=cfg.n_audio_ctx, interpret=_pallas_interpret(),
+                mesh=mesh,
             )
         out = out.reshape(Bb, beams, Sq, Hh, Dh)
         return jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(Nb, Hh, Sq, Dh)
@@ -632,6 +634,7 @@ def decode_step(
     beams: int = 1,
     row_pad: Optional[jnp.ndarray] = None,  # [N] int32 left-pad per row
     unroll: bool = False,
+    mesh=None,  # jax.sharding.Mesh: shard_map the Pallas cross-attention
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Run S tokens through the decoder against a fixed-size KV cache.
 
@@ -695,7 +698,7 @@ def decode_step(
         mask = mask[:, None]  # [N, 1, S, Tc] broadcast over heads
 
     cross_fn, cross_select, cross_stacked = _cross_attend_factory(
-        cfg, cross_cache, beams, dtype, S
+        cfg, cross_cache, beams, dtype, S, mesh=mesh
     )
 
     L = cfg.n_text_layer
@@ -756,6 +759,7 @@ def decode_step_pos(
     self_cache: Dict[str, jnp.ndarray],
     cross_cache: Dict[str, jnp.ndarray],
     unroll: bool = False,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """decode_step with PER-ROW base positions (speculative decoding).
 
@@ -791,7 +795,7 @@ def decode_step_pos(
     ).astype(jnp.float32)[:, None]  # [B, 1, S, Tc]
 
     cross_fn, cross_select, cross_stacked = _cross_attend_factory(
-        cfg, cross_cache, 1, dtype, S
+        cfg, cross_cache, 1, dtype, S, mesh=mesh
     )
 
     b_idx = jnp.arange(B)[:, None]  # [B, 1] broadcast against qpos [B, S]
@@ -864,6 +868,7 @@ def decode_step_split(
     row_pad: Optional[jnp.ndarray] = None,  # [N] int32 left-pad per row
     unroll: bool = False,
     anc: Optional[jnp.ndarray] = None,  # [N, Td] int32 ancestry row indices
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Sampling step against a SPLIT self-cache.
 
@@ -916,7 +921,7 @@ def decode_step_split(
     dmask = jnp.where(jnp.arange(Td) <= step, 0.0, -jnp.inf).astype(jnp.float32)
 
     cross_fn, cross_select, cross_stacked = _cross_attend_factory(
-        cfg, cross_cache, beams, dtype, 1
+        cfg, cross_cache, beams, dtype, 1, mesh=mesh
     )
 
     def split_attn(q, pk, pv, dk, dv):
