@@ -51,7 +51,7 @@ def read_rttm(path: str):
     return turns
 
 
-def main() -> int:
+def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("config", type=int, choices=sorted(CONFIGS))
     p.add_argument("audio", help="WAV file (configs 1-4) or directory (config 5)")
@@ -60,7 +60,7 @@ def main() -> int:
     p.add_argument("--ref-text", default=None)
     p.add_argument("--ref-rttm", default=None)
     p.add_argument("--max-tokens", type=int, default=224)
-    args = p.parse_args()
+    args = p.parse_args(argv)
     c = CONFIGS[args.config]
 
     eng = Engine(EngineConfig(

@@ -8,6 +8,8 @@ from whisper_diarize_tpu.types import Segment
 
 from tests.test_engine import TINY_TEST_CFG, snapshot_dir, wav_path  # noqa: F401
 
+pytestmark = pytest.mark.slow  # CLI end-to-end transcribe runs (`pytest -m slow`)
+
 
 def test_format_srt():
     cues = [

@@ -51,6 +51,7 @@ def test_pyannote_torch_parity(tmp_path):
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_campplus_conversion_and_torch_parity(tmp_path):
     """Build the REAL upstream CAM++ topology in torch, randomize it, convert
     its state dict, and require (a) zero missing / zero unmapped tensors and

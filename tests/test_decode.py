@@ -77,6 +77,7 @@ def test_greedy_eot_padding(setup):
         assert (tokens[b, int(lengths[b]) :] == tk.specials.eot).all()
 
 
+@pytest.mark.slow
 def test_beam1_matches_greedy(setup):
     params, xa, tk = setup
     dcg = dec.DecodeConfig(max_tokens=12, blank_id=32)
@@ -87,6 +88,7 @@ def test_beam1_matches_greedy(setup):
     np.testing.assert_array_equal(np.asarray(g.lengths), np.asarray(b.lengths))
 
 
+@pytest.mark.slow
 def test_beam_decode_runs(setup):
     params, xa, tk = setup
     dc = dec.DecodeConfig(beam_size=3, max_tokens=12, blank_id=32)
@@ -112,6 +114,7 @@ def test_beam_decode_runs(setup):
         np.testing.assert_array_equal(bt[b, : gl[b]], gt[b, : gl[b]])
 
 
+@pytest.mark.slow
 def test_per_row_prompts_match_row_by_row(setup):
     """Left-padded per-row prompts (row_pad masking + shifted positions) must
     reproduce each row's stand-alone decode exactly (VERDICT r1 item 5: each
@@ -155,6 +158,7 @@ def test_per_row_prompts_match_row_by_row(setup):
     )
 
 
+@pytest.mark.slow
 def test_per_row_prompts_beam_runs(setup):
     """Beam search with per-row prompts: grammar holds, shapes right."""
     params, xa, tk = setup
@@ -226,6 +230,7 @@ def test_quantized_cross_kv_close_to_bf16(setup):
     _check_timestamp_grammar(tq, np.asarray(rq.lengths), tk.specials)
 
 
+@pytest.mark.slow
 def test_beam_length_penalty_option(setup):
     params, xa, tk = setup
     dc = dec.DecodeConfig(beam_size=2, max_tokens=10, blank_id=32, length_penalty=0.6)

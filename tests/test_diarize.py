@@ -86,6 +86,7 @@ def test_cosine_similarity():
     assert cosine_similarity(np.zeros(2), np.ones(2)) == 0.0
 
 
+@pytest.mark.slow
 def test_campplus_embedding_shapes():
     params = campplus.init_params(0)
     rng = np.random.default_rng(2)
@@ -95,6 +96,7 @@ def test_campplus_embedding_shapes():
     assert np.isfinite(emb).all()
 
 
+@pytest.mark.slow
 def test_campplus_batch_matches_single():
     params = campplus.init_params(0)
     rng = np.random.default_rng(3)
@@ -109,6 +111,7 @@ def test_campplus_batch_matches_single():
     np.testing.assert_allclose(batch[0], single0, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_campplus_short_segment():
     params = campplus.init_params(0)
     emb = campplus.compute_embedding(params, np.zeros(100, np.int16))
@@ -130,3 +133,57 @@ def test_spectral_cluster_two_clear_speakers():
 def test_spectral_cluster_edge_cases():
     assert spectral_cluster(np.zeros((0, 8))).shape == (0,)
     assert spectral_cluster(np.ones((1, 8))).tolist() == [0]
+
+
+def test_get_segments_batch_matches_serial(monkeypatch):
+    """Cross-stream batched segmentation must reproduce the per-stream
+    results. The net forward is monkeypatched to a deterministic function
+    of the window content: with random weights the powerset argmax sits on
+    near-ties that flip between batch-size-specific XLA compilations, which
+    would test float fusion order instead of the batching bookkeeping."""
+    from whisper_diarize_tpu import diarize as dz
+
+    def fake_forward(params, windows):
+        windows = np.asarray(windows)
+        nf = segmentation.n_out_frames(windows.shape[1])
+        fs = segmentation.FRAME_STEP_SAMPLES
+        out = np.full((windows.shape[0], nf, 7), -10.0, np.float32)
+        for w in range(windows.shape[0]):
+            for f in range(nf):
+                frame = windows[w, f * fs: (f + 1) * fs]
+                loud = np.abs(frame).mean() > 0.05
+                out[w, f, 1 if loud else 0] = 0.0
+        return out
+
+    monkeypatch.setattr(dz.segmentation, "forward", fake_forward)
+    params = segmentation.init_params(0)
+    rng = np.random.default_rng(5)
+    streams = [
+        (rng.standard_normal(n) * 8000).astype(np.int16)
+        for n in (160000, 200000, 40000)
+    ] + [np.zeros(0, np.int16)]
+    serial = [dz.get_segments(x, 16000, params) for x in streams]
+    # serial path goes through the batch helper too — drive the multi-
+    # stream window bookkeeping explicitly and compare
+    batched = dz.get_segments_batch(streams, 16000, params)
+    assert len(batched) == len(serial)
+    assert any(len(r) > 0 for r in serial)  # fixture produces segments
+    for ref, out in zip(serial, batched):
+        assert [(s.start, s.end) for s in out] == [
+            (s.start, s.end) for s in ref
+        ]
+        for a, b in zip(out, ref):
+            np.testing.assert_array_equal(a.samples, b.samples)
+
+
+def test_segmentation_forward_batch_consistency():
+    """The real forward over a concatenated window batch stays numerically
+    close to per-stream batches (same math; only fusion order differs)."""
+    params = segmentation.init_params(0)
+    rng = np.random.default_rng(6)
+    w1 = rng.standard_normal((2, segmentation.WINDOW_SAMPLES)).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((3, segmentation.WINDOW_SAMPLES)).astype(np.float32) * 0.1
+    full = np.asarray(segmentation.forward(params, np.concatenate([w1, w2])))
+    p1 = np.asarray(segmentation.forward(params, w1))
+    p2 = np.asarray(segmentation.forward(params, w2))
+    np.testing.assert_allclose(full, np.concatenate([p1, p2]), atol=2e-4)

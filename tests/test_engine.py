@@ -7,6 +7,8 @@ from whisper_diarize_tpu.models import whisper as wm
 from whisper_diarize_tpu.models import weights as weights_mod
 from whisper_diarize_tpu.types import Callbacks, ProgressType, Segment, TranscribeOptions
 
+pytestmark = pytest.mark.slow  # Engine end-to-end runs (tiny model, still seconds each) (`pytest -m slow`)
+
 TINY_TEST_CFG = wm.WhisperConfig(
     n_mels=80, n_vocab=51865,
     n_audio_ctx=1500, n_audio_state=64, n_audio_head=2, n_audio_layer=2,

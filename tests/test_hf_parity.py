@@ -22,6 +22,8 @@ from whisper_diarize_tpu.models import weights as wmod  # noqa: E402
 from whisper_diarize_tpu.models import whisper as wm  # noqa: E402
 from whisper_diarize_tpu.ops.mel import N_SAMPLES, log_mel_spectrogram  # noqa: E402
 
+pytestmark = pytest.mark.slow  # HF transformers cross-validation (`pytest -m slow`)
+
 
 @pytest.fixture(scope="module")
 def hf_snapshot(tmp_path_factory):

@@ -95,6 +95,7 @@ def test_q8_kernel_matches_dequantized_reference():
     np.testing.assert_allclose(out, ref, atol=1e-3, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_greedy_decode_pallas_cross_matches_plain():
     """greedy_decode with the tiled Pallas cross path reproduces the plain
     XLA path (f32 CPU: identical sampled tokens, close logprobs)."""

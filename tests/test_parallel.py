@@ -15,6 +15,8 @@ from whisper_diarize_tpu.parallel.mesh import (
 )
 from whisper_diarize_tpu.types import SpeechSegment
 
+pytestmark = pytest.mark.slow  # virtual-mesh sharded decode / engine equivalence (`pytest -m slow`)
+
 
 def seg(start, seconds, value=7):
     n = int(seconds * 16000)

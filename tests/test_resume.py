@@ -6,6 +6,8 @@ from whisper_diarize_tpu.types import Callbacks, TranscribeOptions
 
 from tests.test_engine import TINY_TEST_CFG, make_engine, snapshot_dir, wav_path  # noqa: F401
 
+pytestmark = pytest.mark.slow  # engine end-to-end resume journal runs (`pytest -m slow`)
+
 
 def test_resume_journal_skips_decoded_windows(snapshot_dir, tmp_path, wav_path):
     resume = str(tmp_path / "resume")

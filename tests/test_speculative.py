@@ -18,6 +18,8 @@ from whisper_diarize_tpu.tokenizer import DebugTokenizer
 
 from tests.test_whisper_model import TINY_TEST_CFG
 
+pytestmark = pytest.mark.slow  # full speculative decode loops (`pytest -m slow`)
+
 DRAFT_CFG = wm.WhisperConfig(
     n_mels=80, n_vocab=51865,
     n_audio_ctx=1500, n_audio_state=32, n_audio_head=2, n_audio_layer=1,

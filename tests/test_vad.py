@@ -126,3 +126,28 @@ def test_get_segments_end_to_end():
         assert isinstance(seg, SpeechSegment)
         assert seg.samples.dtype == np.int16
         assert seg.end > seg.start
+
+
+def test_get_segments_batch_matches_serial():
+    """Cross-stream batched VAD (one [S, T] device pass) must reproduce the
+    per-stream results exactly — rows are independent and padding sits
+    after each row's valid chunks."""
+    from whisper_diarize_tpu.models import silero_vad
+    from whisper_diarize_tpu.vad import get_segments_batch
+
+    params = silero_vad.init_params(0)
+    rng = np.random.default_rng(3)
+    streams = [
+        (rng.standard_normal(n) * 8000).astype(np.int16)
+        for n in (16000, 9000, 25000, 512)
+    ]
+    serial = [get_segments(params, x) for x in streams]
+    batched = get_segments_batch(params, streams)
+    assert len(batched) == len(serial)
+    for (m_ref, s_ref), (m_out, s_out) in zip(serial, batched):
+        assert m_out == m_ref
+        assert [(s.start, s.end) for s in s_out] == [
+            (s.start, s.end) for s in s_ref
+        ]
+        for a, b in zip(s_out, s_ref):
+            np.testing.assert_array_equal(a.samples, b.samples)

@@ -49,6 +49,7 @@ def test_encode_shape(xa):
     assert np.isfinite(np.asarray(xa)).all()
 
 
+@pytest.mark.slow
 def test_incremental_decode_matches_teacher_forced(params, xa):
     """Prefill + per-token cached steps must equal the nocache forward."""
     cfg = TINY_TEST_CFG
@@ -122,6 +123,7 @@ def test_encoder_compact_probs_accuracy(params):
     assert err < 0.1 * scale, (err, scale)
 
 
+@pytest.mark.slow
 def test_decode_step_unroll_parity(params, xa):
     """The unrolled layer driver (static weight slices, used on the TPU
     sampling hot path) must be numerically identical to the lax.scan path
@@ -157,6 +159,7 @@ def test_decode_step_unroll_parity(params, xa):
         np.asarray(l_s), np.asarray(l_u), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_decode_step_split_parity(params, xa):
     """Beam sampling against the split prompt/decode cache must match the
     fused-cache decode_step exactly, including after a beam reindex."""
@@ -235,6 +238,7 @@ def test_cross_kv_tiled_parity(params, xa):
             np.where(m, a, 0.0), np.where(m, b, 0.0), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_decode_step_split_ancestry_parity(params, xa):
     """Gather-free ancestry indirection must reproduce the explicit
     decode-cache gather exactly across steps and beam reindexes."""
@@ -274,6 +278,7 @@ def test_decode_step_split_ancestry_parity(params, xa):
             np.asarray(la), np.asarray(lg), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_decode_step_pos_parity(params, xa):
     """Per-row-position decode (speculative rounds) must reproduce
     decode_step exactly when all rows share the same position, and must

@@ -433,24 +433,27 @@ class Engine:
         elif options.enable_vad:
             vad_model = self._resolve_vad_model(cb)
 
+        all_samples = [audio_io.read_wav(p) for p in audio_paths]
         per_stream_segments: List[List[SpeechSegment]] = []
         vad_masks: List[Optional[VadMaskOracle]] = []
-        for path in audio_paths:
-            samples = audio_io.read_wav(path)
-            if options.enable_diarize:
-                from . import diarize as diarize_mod
+        # frontend nets run ONE device batch across all streams (the
+        # reference loops files through serial ONNX calls; config 5's 16
+        # parallel streams would leave the chip idle between dispatches)
+        if options.enable_diarize:
+            from . import diarize as diarize_mod
 
-                per_stream_segments.append(
-                    diarize_mod.get_segments(samples, SAMPLE_RATE, seg_params)
-                )
-                vad_masks.append(None)
-            elif options.enable_vad:
-                from . import vad as vad_mod
+            per_stream_segments = diarize_mod.get_segments_batch(
+                all_samples, SAMPLE_RATE, seg_params
+            )
+            vad_masks = [None] * len(audio_paths)
+        elif options.enable_vad:
+            from . import vad as vad_mod
 
-                mask, segs = vad_mod.get_segments(vad_model, samples)
+            for mask, segs in vad_mod.get_segments_batch(vad_model, all_samples):
                 per_stream_segments.append(segs)
                 vad_masks.append(VadMaskOracle(mask))
-            else:
+        else:
+            for samples in all_samples:
                 per_stream_segments.append(
                     [
                         SpeechSegment(
