@@ -177,3 +177,51 @@ def test_mesh_decode_keeps_pallas_cross(mesh_shape, strategy):
         np.asarray(out.sum_logprob), np.asarray(ref.sum_logprob),
         atol=1e-3, rtol=1e-4,
     )
+
+
+def test_split_self_kernel_matches_xla_deref():
+    """The fused split-self-attention kernel (in-VMEM ancestry one-hot,
+    `split_self_attn_layer`) must reproduce the XLA deref path through
+    decode_step_split: same logits, same cache updates, across steps,
+    row pads and a beam-permuting ancestry map."""
+    L, B, K, H, Dh, Tp, Td, V = 2, 2, 3, 2, 8, 5, 8, 64
+    N = B * K
+    D = H * Dh
+    cfg = wm.WhisperConfig(
+        n_mels=8, n_vocab=V, n_audio_ctx=16, n_audio_state=D,
+        n_audio_head=H, n_audio_layer=L, n_text_ctx=64, n_text_state=D,
+        n_text_head=H, n_text_layer=L,
+    )
+    params = wm.init_params(cfg, seed=0)
+    rng = np.random.default_rng(1)
+    xa = jnp.asarray(rng.standard_normal((B, 16, D)), jnp.float32)
+    cross = wm.cross_kv(params, xa, cfg)
+    pk = jnp.asarray(rng.standard_normal((L, B, H, Tp, Dh)), jnp.float32)
+    pv = jnp.asarray(rng.standard_normal((L, B, H, Tp, Dh)), jnp.float32)
+    dk = jnp.asarray(rng.standard_normal((L, N, H, Td, Dh)), jnp.float32)
+    dv = jnp.asarray(rng.standard_normal((L, N, H, Td, Dh)), jnp.float32)
+    row_pad = jnp.asarray(
+        np.repeat(rng.integers(0, Tp - 1, size=B), K), jnp.int32)
+    tokens = jnp.asarray(rng.integers(0, V, size=(N, 1)), jnp.int32)
+
+    for step in (0, 3, Td - 1):
+        # ancestry: identity for future slots, random within-stream rows
+        # for decoded ones (what beam reindexing produces)
+        anc = np.tile(np.arange(N, dtype=np.int32)[:, None], (1, Td))
+        anc[:, :step] = (
+            (np.arange(N)[:, None] // K) * K
+            + rng.integers(0, K, size=(N, step))
+        )
+        anc = jnp.asarray(anc)
+        outs = {}
+        for pallas in (False, True):
+            logits, nd = wm.decode_step_split(
+                params, cfg, tokens, jnp.int32(step),
+                {"k": pk, "v": pv}, {"k": dk, "v": dv}, cross, Tp,
+                beams=K, row_pad=row_pad, unroll=True, anc=anc,
+                pallas_split=pallas,
+            )
+            outs[pallas] = (np.asarray(logits),
+                            np.asarray(nd["k"]), np.asarray(nd["v"]))
+        for a, b in zip(outs[False], outs[True]):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)

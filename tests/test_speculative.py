@@ -107,3 +107,26 @@ def test_round_count_reflects_acceptance(setup):
     assert int(rounds_self) <= int(rounds_bad)
     max_len = int(np.asarray(ref.lengths).max())
     assert int(rounds_self) <= max(-(-max_len // 4) + 2, 3)
+
+
+def test_sim_accept_round_structure(setup):
+    """The bench-only `sim_accept` hook (controlled acceptance for timing,
+    `tools/bench_speculative.py`) shapes the round count as designed:
+    α=1.0 matches the self-draft ceiling (~max_tokens/gamma rounds), lower
+    α needs more rounds, and every row still emits a full transcript."""
+    params, xa, tk, prompt, dc, mel, ref = setup
+    sup = jnp.asarray(
+        dec.build_suppress_mask(tk.specials, TINY_TEST_CFG.n_vocab,
+                                extra_suppress=[tk.specials.eot]))
+    params_bad = wm.init_params(TINY_TEST_CFG, seed=99)
+    xa_bad = wm.encode(params_bad, mel, TINY_TEST_CFG)
+    rounds = {}
+    for alpha in (1.0, 0.5):
+        res, r = spec.speculative_greedy_run(
+            params, TINY_TEST_CFG, params_bad, TINY_TEST_CFG, dc,
+            tk.specials, xa, xa_bad, prompt, prompt.shape[1], sup,
+            gamma=4, sim_accept=alpha)
+        rounds[alpha] = int(r)
+        assert (np.asarray(res.lengths) == dc.max_tokens).all()
+    assert rounds[1.0] == -(-dc.max_tokens // 4)
+    assert rounds[0.5] > rounds[1.0]

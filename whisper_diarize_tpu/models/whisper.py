@@ -869,6 +869,7 @@ def decode_step_split(
     unroll: bool = False,
     anc: Optional[jnp.ndarray] = None,  # [N, Td] int32 ancestry row indices
     mesh=None,
+    pallas_split: bool = False,  # fused Pallas self-attn kernel (TPU)
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Sampling step against a SPLIT self-cache.
 
@@ -885,13 +886,23 @@ def decode_step_split(
     `anc` enables GATHER-FREE beam search: the decode cache stays
     unpermuted in the loop carry (each row only ever receives in-place
     single-slot writes), and `anc[n, t]` names the physical row holding
-    beam n's slot-t entry. The row indirection is applied at READ time into
-    a per-layer temp — a temp gather composes ~3x cheaper inside the decode
-    loop than permuting the carried cache (XLA must defensively copy a
-    cross-row permutation whose output aliases a loop carry; measured 13.8
-    vs 4.7 ms/step on large-v3 b16, `tools/bench_beam_breakdown.py`).
+    beam n's slot-t entry. Permuting the carried cache instead would force
+    XLA into defensive full copies (~13.8 ms/step on large-v3 b16).
     Callers maintain `anc` as: `anc = anc[new_src].at[:, step].set(arange(N))`
-    before each step.
+    before each step. Two resolution paths:
+
+    * XLA (`pallas_split=False` or the scan driver): the indirection is a
+      read-time `take_along_axis` into per-layer temps — 3x the decode-
+      cache volume in HBM traffic (source read + temp write + attention
+      read, ~5.5 ms/step on large-v3 b5 b16) but still ~3x cheaper than
+      permuting the carry. A pure-XLA one-hot reformulation (einsum
+      against all K ancestor rows + tiny-temp select) was measured SLOWER
+      (21.5 vs 20.6 ms/step beam_run): XLA lowers the KxK-batched
+      contractions to VPU broadcast-reduces.
+    * Pallas (`pallas_split=True`, TPU): `ops/pallas_attn.py::
+      split_self_attn_layer` fuses both attention halves and the ancestry
+      resolution into one kernel that streams dk/dv exactly once — the
+      one-hot lives in VMEM where it is free.
 
     Returns (logits [N, 1, V] f32, updated decode_cache).
     """
@@ -900,6 +911,7 @@ def decode_step_split(
     N = tokens.shape[0]
     B = N // beams
     H = cfg.n_text_head
+    Dh_ = cfg.head_dim
     Tp = prompt_cache["k"].shape[-2]
     Td = decode_cache["k"].shape[-2]
     if row_pad is None:
@@ -925,7 +937,8 @@ def decode_step_split(
     )
 
     def split_attn(q, pk, pv, dk, dv):
-        # q [N,H,1,Dh]; pk/pv [B,H,Tp,Dh]; dk/dv [N,H,Td,Dh]
+        # q [N,H,1,Dh]; pk/pv [B,H,Tp,Dh]; dk/dv [N,H,Td,Dh] (ancestry
+        # pre-resolved by the caller when anc is set)
         Dh = q.shape[-1]
         scale = Dh ** -0.25
         qb = (q * scale).reshape(B, beams, H, Dh)
@@ -955,6 +968,17 @@ def decode_step_split(
         def _deref(a):
             return a
 
+    # Pallas path: only on the unrolled driver — the scan driver would
+    # slice the cache operand per layer before the custom call, which
+    # materializes a full per-layer copy (same trap as the cross kernel;
+    # here the whole cache is passed and the kernel's index_map selects
+    # the layer via scalar prefetch).
+    use_split_kernel = pallas_split and unroll and anc is not None
+    if use_split_kernel:
+        from ..ops.pallas_attn import split_self_attn_layer
+
+        anc_j = (anc % beams).reshape(B, beams, Td).astype(jnp.int32)
+
     L = cfg.n_text_layer
     if unroll:
         dk, dv = decode_cache["k"], decode_cache["v"]
@@ -966,7 +990,15 @@ def decode_step_split(
                 dk, k_new[None], (l, 0, 0, step, 0))
             dv = jax.lax.dynamic_update_slice(
                 dv, v_new[None], (l, 0, 0, step, 0))
-            self_out = split_attn(q, pk[l], pv[l], _deref(dk[l]), _deref(dv[l]))
+            if use_split_kernel:
+                self_out = split_self_attn_layer(
+                    jnp.int32(l), q.reshape(B, beams, H, Dh_),
+                    pk, pv, dk, dv, anc_j, step,
+                    row_pad_b.astype(jnp.int32), prompt_len, mesh=mesh,
+                ).reshape(N, H, 1, Dh_)
+            else:
+                self_out = split_attn(
+                    q, pk[l], pv[l], _deref(dk[l]), _deref(dv[l]))
             ck, cv = cross_select(l)
             x = _decoder_layer_tail(
                 x, blk, self_out, cross_fn, ck, cv, jnp.int32(l), H)

@@ -40,6 +40,10 @@ from ..tokenizer import SpecialTokens
 NEG_INF = float("-inf")
 
 
+def _resolve_pallas_split(dc: "DecodeConfig") -> bool:
+    return dc.pallas_cross if dc.pallas_split is None else dc.pallas_split
+
+
 def _resolve_unroll(dc: "DecodeConfig") -> bool:
     """Unrolled decoder layers for the sampling step: explicit knob wins,
     else on for the TPU backend only (CPU tests keep the cheap-to-compile
@@ -66,6 +70,11 @@ class DecodeConfig:
     # Pallas flash cross-attention for the decode loop (~1.7x on the decode
     # bottleneck, `ops/pallas_attn.py`); auto-enabled on TPU by the Engine
     pallas_cross: bool = False
+    # Fused split-self-attention kernel for BEAM sampling steps (ancestry
+    # one-hot resolved in VMEM; streams the decode cache once instead of
+    # the XLA deref path's 3x, `ops/pallas_attn.py::split_self_attn_layer`).
+    # None = follow pallas_cross.
+    pallas_split: Optional[bool] = None
     # Unroll the decoder layer loop in the SAMPLING step (None = auto: on
     # for TPU). The lax.scan over stacked layers re-materializes every
     # layer's weights each step (~+1.7 GB/step HBM on large-v3; 13.1 ->
@@ -707,6 +716,7 @@ def beam_run(
             {"k": s["cache"]["dk"], "v": s["cache"]["dv"]},
             cross_cache, prompt_len, beams=K, row_pad=s["row_pad"],
             unroll=_resolve_unroll(dc), anc=anc, mesh=dc.mesh,
+            pallas_split=_resolve_pallas_split(dc),
         )
         cache = dict(s["cache"], dk=new_dec["k"], dv=new_dec["v"])
 

@@ -351,3 +351,173 @@ def tile_cross_kv(k: jnp.ndarray, v: jnp.ndarray, t_tile: int = T_TILE):
         return jnp.transpose(xt, (0, 1, 4, 2, 3, 5))  # [L, B, NT, H, Dh, TT]
 
     return prep(k), prep(v)
+
+
+# ---------------------------------------------------------------------------
+# Fused split-cache self-attention for BEAM sampling steps
+# ---------------------------------------------------------------------------
+#
+# Beam search carries a SPLIT self-cache (`models/whisper.py::
+# decode_step_split`): a beam-shared prompt half [L, B, H, Tp, Dh] and a
+# per-beam decode half [L, N=B*K, H, Td, Dh] that is never permuted — an
+# ancestry map names, per (beam, slot), which physical row holds the K/V.
+# The XLA resolution (take_along_axis into per-layer temps) costs 3x the
+# decode-cache volume in HBM traffic (source read + temp write + attention
+# read; ~5.5 ms/step on large-v3 beam-5 b16), and a pure-XLA one-hot
+# reformulation measured slower still (KxK-batched contractions lower to
+# VPU broadcast-reduces). This kernel fuses BOTH attention halves, their
+# joint softmax, and the ancestry resolution into one pass that streams
+# dk/dv exactly once: ancestry never touches HBM — scores are computed
+# against all K physical rows of the stream (K tiny MXU dots) and the
+# ancestor's row is selected per (beam, slot) by a one-hot in VMEM; on the
+# value side the softmax weights are routed through the same one-hot so
+# the contraction runs against the raw cache block.
+#
+# Layout notes: the grid is (B, H-blocks) — each cell owns one stream's K
+# rows for a slab of heads, so a cell's dk/dv block is one contiguous DMA
+# and the full grid partitions the cache exactly once. The layer index is
+# scalar-prefetched and selected in the BlockSpec index_map (slicing the
+# cache in XLA before a custom call would materialize a full per-layer
+# copy per step — same trap as the cross kernel above).
+
+
+def _split_self_kernel(prompt_len: int, scale: float, n_beams: int,
+                       l_ref, s_ref, rp_ref,
+                       q_ref, pk_ref, pv_ref, dk_ref, dv_ref, aj_ref,
+                       o_ref):
+    b = pl.program_id(0)
+    step = s_ref[0]
+    rp = rp_ref[b]
+    q = q_ref[0]        # [K, Hb, Dh]
+    pk = pk_ref[0, 0]   # [Hb, Tp, Dh]
+    pv = pv_ref[0, 0]
+    aj = aj_ref[0]      # [K, Td] int32 ancestor beam per (beam, slot)
+    K, Hb, Dh = q.shape
+    Td = dk_ref.shape[3]
+
+    qh = jnp.transpose(q.astype(jnp.float32), (1, 0, 2)) * scale  # [Hb, K, Dh]
+    qh = qh.astype(pk.dtype)
+
+    # prompt scores [Hb, K, Tp]; pad filler slots (< row_pad) masked
+    sp = jax.lax.dot_general(
+        qh, pk, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    tpc = jax.lax.broadcasted_iota(jnp.int32, sp.shape, 2)
+    sp = jnp.where((tpc >= rp) & (tpc < prompt_len), sp, -jnp.inf)
+
+    # decode scores: K tiny dots against each physical row j, ancestor's
+    # row selected by the one-hot — all in VMEM/registers
+    sd = jnp.zeros((Hb, K, Td), jnp.float32)
+    sels = []
+    for j in range(n_beams):
+        s_j = jax.lax.dot_general(
+            qh, dk_ref[0, j], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [Hb, K, Td]
+        sel_j = (aj == j)[None]  # [1, K, Td]
+        sels.append(sel_j)
+        sd = jnp.where(sel_j, s_j, sd)
+    tdc = jax.lax.broadcasted_iota(jnp.int32, sd.shape, 2)
+    sd = jnp.where(tdc <= step, sd, -jnp.inf)
+
+    # joint softmax over [Tp + Td]
+    s = jnp.concatenate([sp, sd], axis=-1)  # [Hb, K, Tp+Td]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l2 = jnp.sum(p, axis=-1, keepdims=True)
+    wp = p[..., :sp.shape[2]].astype(pv.dtype)
+    wd = p[..., sp.shape[2]:]  # [Hb, K, Td] f32
+
+    out = jax.lax.dot_general(
+        wp, pv, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [Hb, K, Dh]
+    for j in range(n_beams):
+        w_j = jnp.where(sels[j], wd, 0.0).astype(dv_ref.dtype)
+        out = out + jax.lax.dot_general(
+            w_j, dv_ref[0, j], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+    out = out / l2
+    o_ref[0] = jnp.transpose(out, (1, 0, 2)).astype(o_ref.dtype)
+
+
+def _split_self_impl(
+    l_arr, s_arr, rp_arr, q, pk, pv, dk, dv, aj,
+    *, prompt_len: int, interpret: bool,
+):
+    B, K, H, Dh = q.shape
+    Tp = pk.shape[3]
+    Td = dk.shape[3]
+    scale = float(Dh) ** -0.5
+    # one grid cell per stream: its K cache rows are one contiguous DMA
+    # (blocks keep full H — Mosaic requires the last two block dims to be
+    # (8, 128)-divisible or equal to the array dims, which rules out
+    # partial-H q/out blocks at H=20)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, K, H, Dh), lambda b, l, s, rp: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, H, Tp, Dh),
+                         lambda b, l, s, rp: (l[0], b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, H, Tp, Dh),
+                         lambda b, l, s, rp: (l[0], b, 0, 0, 0)),
+            pl.BlockSpec((1, K, H, Td, Dh),
+                         lambda b, l, s, rp: (l[0], b, 0, 0, 0)),
+            pl.BlockSpec((1, K, H, Td, Dh),
+                         lambda b, l, s, rp: (l[0], b, 0, 0, 0)),
+            pl.BlockSpec((1, K, Td), lambda b, l, s, rp: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, K, H, Dh),
+                               lambda b, l, s, rp: (b, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_split_self_kernel, int(prompt_len), scale, K),
+        out_shape=jax.ShapeDtypeStruct((B, K, H, Dh), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(l_arr, s_arr, rp_arr, q, pk, pv, dk, dv, aj)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("prompt_len", "interpret", "mesh"))
+def split_self_attn_layer(
+    layer_idx,  # scalar int32 — which layer of the caches to use
+    q: jnp.ndarray,   # [B, K, H, Dh] this step's queries (beams folded)
+    pk: jnp.ndarray,  # [L, B, H, Tp, Dh] beam-shared prompt keys
+    pv: jnp.ndarray,  # [L, B, H, Tp, Dh]
+    dk: jnp.ndarray,  # [L, N=B*K, H, Td, Dh] per-beam decode keys (raw)
+    dv: jnp.ndarray,  # [L, N, H, Td, Dh]
+    anc_j: jnp.ndarray,  # [B, K, Td] int32 ancestor beam within the stream
+    step,             # scalar int32: decode slots <= step are valid
+    row_pad: jnp.ndarray,  # [B] int32 prompt left-pad per stream
+    prompt_len: int,
+    interpret: bool | None = None,
+    mesh=None,
+) -> jnp.ndarray:
+    """One decoder layer's split-cache self-attention -> [B, K, H, Dh]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    impl = functools.partial(
+        _split_self_impl, prompt_len=int(prompt_len),
+        interpret=bool(interpret))
+    l_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    s_arr = jnp.asarray(step, jnp.int32).reshape(1)
+    rp = jnp.asarray(row_pad, jnp.int32)
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        B, _, H, _ = q.shape
+        data, model = _mesh_axes(mesh, B, H)
+        impl = shard_map(
+            impl, mesh=mesh,
+            in_specs=(P(None), P(None), P(data),
+                      P(data, None, model, None),
+                      P(None, data, model, None, None),
+                      P(None, data, model, None, None),
+                      P(None, data, model, None, None),
+                      P(None, data, model, None, None),
+                      P(data, None, None)),
+            out_specs=P(data, None, model, None),
+            check_rep=False,
+        )
+    return impl(l_arr, s_arr, rp, q, pk, pv, dk, dv, anc_j)
