@@ -130,3 +130,30 @@ def test_sim_accept_round_structure(setup):
         assert (np.asarray(res.lengths) == dc.max_tokens).all()
     assert rounds[1.0] == -(-dc.max_tokens // 4)
     assert rounds[0.5] > rounds[1.0]
+
+
+def test_cancellation_polls_between_round_budgets(setup):
+    """With is_cancelled set, the round loop re-enters in poll_rounds
+    budget windows and a cancel stops it early (ADVICE r2: the fused
+    while_loop used to run the whole window regardless)."""
+    params, xa, tk, prompt, dc, mel, ref = setup
+    sup = jnp.asarray(
+        dec.build_suppress_mask(tk.specials, TINY_TEST_CFG.n_vocab,
+                                extra_suppress=[tk.specials.eot]))
+    params_bad = wm.init_params(TINY_TEST_CFG, seed=99)
+    xa_bad = wm.encode(params_bad, mel, TINY_TEST_CFG)
+    polls = []
+
+    def cancel_after_first():
+        polls.append(True)
+        return len(polls) >= 1
+
+    # hostile draft: ~1 token/round, so a poll_rounds=2 window emits ~2
+    # tokens before the first poll; a full run would emit max_tokens
+    res, rounds = spec.speculative_greedy_run(
+        params, TINY_TEST_CFG, params_bad, TINY_TEST_CFG, dc, tk.specials,
+        xa, xa_bad, prompt, prompt.shape[1], sup, gamma=3,
+        is_cancelled=cancel_after_first, poll_rounds=2)
+    assert polls, "is_cancelled was never polled"
+    assert int(rounds) <= 2
+    assert (np.asarray(res.lengths) < dc.max_tokens).all()

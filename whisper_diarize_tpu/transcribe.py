@@ -294,9 +294,9 @@ class TranscribeStep:
                 and xa_d is not None and self.dc.temperature == 0
                 and row_pad is None):
             # speculative rounds need uniform prompts (per-row row_pad
-            # prompts fall back to plain greedy); NOTE: cancellation lands
-            # at WINDOW boundaries on this path, not the ~1 s budget
-            # windows of plain greedy (documented in README/EngineConfig)
+            # prompts fall back to plain greedy); cancellation polls
+            # between ~8-round budget windows (~gamma x 8 tokens), the
+            # same ~1 s granularity as plain greedy's 32-token windows
             from .ops import speculative as spec_mod
 
             dparams, dcfg = self.draft
@@ -304,7 +304,8 @@ class TranscribeStep:
                 self.params, self.cfg, dparams, dcfg, self.dc, self.sp,
                 xa, xa_d() if callable(xa_d) else xa_d, prompt, prompt_len,
                 suppress_mask=self._suppress, gamma=self.spec_gamma,
-                sot_pos=sot_pos,
+                sot_pos=sot_pos, is_cancelled=is_cancelled,
+                poll_rounds=max(1, 32 // max(self.spec_gamma, 1)),
             )
         if self.strategy == "greedy":
             if self.dc.temperature > 0 and self.dc.beam_size > 1:
