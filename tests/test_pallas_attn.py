@@ -225,3 +225,54 @@ def test_split_self_kernel_matches_xla_deref():
                             np.asarray(nd["k"]), np.asarray(nd["v"]))
         for a, b in zip(outs[False], outs[True]):
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
+def test_cross_build_kernel_matches_einsum():
+    """cross_kv_tiled's Pallas matmul-into-tiled-layout path must match the
+    XLA einsum path (f32 interpret: tight tolerance)."""
+    from whisper_diarize_tpu.models import whisper as wm
+
+    L, B, H, Dh, Ta = 2, 2, 4, 8, 700
+    D = H * Dh
+    cfg = wm.WhisperConfig(
+        n_mels=8, n_vocab=64, n_audio_ctx=Ta, n_audio_state=D,
+        n_audio_head=H, n_audio_layer=1, n_text_ctx=16, n_text_state=D,
+        n_text_head=H, n_text_layer=L,
+    )
+    params = wm.init_params(cfg, seed=0)
+    rng = np.random.default_rng(2)
+    xa = jnp.asarray(rng.standard_normal((B, Ta, D)), jnp.float32)
+    ref = wm.cross_kv_tiled(params, xa, cfg, use_kernel=False)
+    out = wm.cross_kv_tiled(params, xa, cfg, use_kernel=True)
+    for key in ("k5", "v5"):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), np.asarray(ref[key]), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_cross_build_kernel_mesh_matches():
+    """The shard_mapped build kernel (rows on data, heads on model) must
+    reproduce the unsharded einsum path on a 4x2 mesh."""
+    from whisper_diarize_tpu.parallel.mesh import (
+        data_sharding, make_mesh, shard_params,
+    )
+
+    L, B, H, Dh, Ta = 2, 4, 4, 8, 700
+    D = H * Dh
+    cfg = wm.WhisperConfig(
+        n_mels=8, n_vocab=64, n_audio_ctx=Ta, n_audio_state=D,
+        n_audio_head=H, n_audio_layer=1, n_text_ctx=16, n_text_state=D,
+        n_text_head=H, n_text_layer=L,
+    )
+    params = wm.init_params(cfg, seed=0)
+    rng = np.random.default_rng(3)
+    xa = jnp.asarray(rng.standard_normal((B, Ta, D)), jnp.float32)
+    ref = wm.cross_kv_tiled(params, xa, cfg, use_kernel=False)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    params_sh = shard_params(params, mesh)
+    xa_sh = jax.device_put(xa, data_sharding(mesh, 3))
+    out = wm.cross_kv_tiled(params_sh, xa_sh, cfg, use_kernel=True, mesh=mesh)
+    for key in ("k5", "v5"):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), np.asarray(ref[key]), rtol=1e-5, atol=1e-5)

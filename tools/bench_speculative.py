@@ -92,10 +92,13 @@ def run_row(name: str) -> dict:
         np.array(tk.sot_sequence(language="en"), np.int32), (B, 1)))
     P = prompt.shape[1]
 
-    frontend = jax.jit(lambda a: wm.encode(
-        params, log_mel_spectrogram(a, n_mels=cfg.n_mels).astype(dtype), cfg))
-    t_front = best_of(lambda: frontend(audio)[:1, :1, :1])
-    xa = frontend(audio)
+    # params as jit ARGUMENTS — closing over them embeds gigabytes of
+    # constants in the HLO and the tunneled remote_compile rejects the
+    # payload (HTTP 413)
+    frontend = jax.jit(lambda p, a: wm.encode(
+        p, log_mel_spectrogram(a, n_mels=cfg.n_mels).astype(dtype), cfg))
+    t_front = best_of(lambda: frontend(params, audio)[:1, :1, :1])
+    xa = frontend(params, audio)
 
     rounds_out = None
     if spec_cfg is None:

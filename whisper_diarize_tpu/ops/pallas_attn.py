@@ -521,3 +521,146 @@ def split_self_attn_layer(
             check_rep=False,
         )
     return impl(l_arr, s_arr, rp, q, pk, pv, dk, dv, anc_j)
+
+
+# ---------------------------------------------------------------------------
+# Cross-K/V cache build: matmul straight into the flash-kernel layout
+# ---------------------------------------------------------------------------
+#
+# The per-window prefill computes K = xa @ Wk, V = xa @ Wv + b for every
+# decoder layer and lays the result out pre-tiled ([L, B, NT, H, Dh, TT])
+# for the flash decode kernel. The XLA einsum with a transposing output
+# layout measured ~66 ms on large-v3 b16 against a ~31 ms floor (matmul
+# ~26 + 3.9 GB tiled write ~5): the layout change rides an epilogue
+# transpose XLA cannot fully fuse. This kernel gives each grid cell one
+# [TT, D] x [D, HDb] MXU matmul and transposes its 1.3 MB output tile in
+# VMEM before the store, so HBM sees only the compacted bf16 writes.
+# Grid order (l, hg, b, nt): the weight block index is constant across the
+# inner (b, nt) sweep, so Mosaic keeps Wk/Wv resident and only x/out
+# blocks stream.
+
+
+def _cross_build_kernel(h_blk: int, dh: int,
+                        x_ref, kw_ref, vw_ref, vb_ref, k_ref, v_ref):
+    x = x_ref[0, 0]     # [TT, D]
+    kw = kw_ref[0]      # [D, HDb]
+    vw = vw_ref[0]
+    vb = vb_ref[0, 0]   # [h_blk, Dh]
+    tt = x.shape[0]
+    # contract x's feature axis against the weights' INPUT axis with the
+    # weights as lhs: the MXU emits [HDb, TT] — already transposed for the
+    # tiled layout, so the only shape cast splits sublanes (HDb -> h, Dh),
+    # which Mosaic supports (an in-VMEM [TT, HDb] -> [h, Dh, TT] transpose
+    # via lane-splitting reshape is an unsupported shape cast)
+    k = jax.lax.dot_general(
+        kw, x, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [HDb, TT]
+    v = jax.lax.dot_general(
+        vw, x, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # reshapes/broadcasts stay in f32: Mosaic only supports non-no-op
+    # minor-dim insertion for 32-bit types
+    k_ref[0, 0, 0] = k.reshape(h_blk, dh, tt).astype(k_ref.dtype)
+    v_ref[0, 0, 0] = (
+        v.reshape(h_blk, dh, tt) + vb.astype(jnp.float32)[:, :, None]
+    ).astype(v_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "head_dim", "interpret", "mesh"))
+def cross_kv_tiled_pallas(
+    xp: jnp.ndarray,   # [B, NT, TT, D] zero-padded, pre-tiled audio states
+    kw: jnp.ndarray,   # [L, D, H*Dh] cross key weights
+    vw: jnp.ndarray,   # [L, D, H*Dh] cross value weights
+    vb: jnp.ndarray,   # [L, H*Dh] cross value bias
+    n_heads: int,
+    head_dim: int,
+    interpret: bool | None = None,
+    mesh=None,  # jax.sharding.Mesh — shard rows/heads like the decode kernel
+):
+    """(k5, v5) in the flash-kernel layout [L, B, NT, H, Dh, TT].
+
+    Under `mesh` the call shard_maps over (data=batch rows, model=heads):
+    the matmul contracts the FULL feature axis D against a head-slice of the
+    weights, so each chip builds exactly its own cache shard with zero
+    cross-chip traffic — the same layout the shard_mapped flash decode
+    kernel then streams."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    impl = functools.partial(
+        _cross_build_impl, head_dim=head_dim, interpret=interpret)
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        data, model = _mesh_axes(mesh, xp.shape[0], n_heads)
+        out_spec = P(None, data, None, model, None, None)
+        impl = shard_map(
+            impl, mesh=mesh,
+            in_specs=(P(data, None, None, None), P(None, None, model),
+                      P(None, None, model), P(None, model)),
+            out_specs=(out_spec, out_spec),
+            check_rep=False,
+        )
+    return impl(xp, kw, vw, vb)
+
+
+def _cross_build_impl(xp, kw, vw, vb, *, head_dim: int, interpret: bool):
+    B, NT, TT, D = xp.shape
+    L, _, HD = kw.shape
+    Dh = head_dim
+    H = HD // Dh
+    # split the output-feature axis so a cell's working set (double-buffered
+    # weight pair + x tile + out tiles + f32 matmul temps) fits the ~16 MB
+    # scoped-VMEM limit with margin. Total weight traffic is L*2*D*H*Dh
+    # regardless of the split (each group streams a disjoint slice), so
+    # finer splits cost only grid overhead.
+    n_hg = 1
+    for cand in range(1, H + 1):
+        if H % cand:
+            continue
+        hd = (H // cand) * Dh
+        # Mosaic block rule: a non-full minor block dim must be 128-aligned
+        if hd != HD and hd % 128:
+            continue
+        n_hg = cand  # most-split aligned candidate so far (VMEM fallback)
+        need = (
+            2 * 2 * D * hd * kw.dtype.itemsize   # kw+vw, 2 buffers each
+            + 2 * TT * D * xp.dtype.itemsize     # x tile, 2 buffers
+            + 2 * 2 * hd * TT * xp.dtype.itemsize  # k/v out tiles
+            + 2 * 2 * hd * TT * 4                # f32 matmul outputs
+        )
+        if need < 12_000_000:
+            break
+    h_blk = H // n_hg
+    hd_blk = h_blk * Dh
+
+    grid_spec = pl.GridSpec(
+        grid=(L, n_hg, B, NT),
+        in_specs=[
+            pl.BlockSpec((1, 1, TT, D),
+                         lambda l, hg, b, nt: (b, nt, 0, 0)),
+            pl.BlockSpec((1, D, hd_blk), lambda l, hg, b, nt: (l, 0, hg)),
+            pl.BlockSpec((1, D, hd_blk), lambda l, hg, b, nt: (l, 0, hg)),
+            # bias as [L, n_hg, h_blk, Dh]: a 2-D [L, HD] operand could not
+            # satisfy the last-two-block-dims rule under feature blocking
+            pl.BlockSpec((1, 1, h_blk, Dh),
+                         lambda l, hg, b, nt: (l, hg, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, h_blk, Dh, TT),
+                         lambda l, hg, b, nt: (l, b, nt, hg, 0, 0)),
+            pl.BlockSpec((1, 1, 1, h_blk, Dh, TT),
+                         lambda l, hg, b, nt: (l, b, nt, hg, 0, 0)),
+        ],
+    )
+    k5, v5 = pl.pallas_call(
+        functools.partial(_cross_build_kernel, h_blk, Dh),
+        out_shape=[
+            jax.ShapeDtypeStruct((L, B, NT, H, Dh, TT), xp.dtype),
+            jax.ShapeDtypeStruct((L, B, NT, H, Dh, TT), xp.dtype),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(xp, kw, vw, vb.reshape(L, n_hg, h_blk, Dh))
+    return k5, v5
