@@ -227,12 +227,18 @@ def test_split_self_kernel_matches_xla_deref():
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
 
 
-def test_cross_build_kernel_matches_einsum():
+@pytest.mark.parametrize("H,Dh", [
+    (4, 8),    # tiny test shape: hd == HD, n_hg = 1
+    (20, 64),  # large-v3 head geometry: aligned splits only (hd % 128)
+    (6, 64),   # HD = 384: only cand 1 (full) and 3 (128) are 128-aligned
+])
+def test_cross_build_kernel_matches_einsum(H, Dh):
     """cross_kv_tiled's Pallas matmul-into-tiled-layout path must match the
-    XLA einsum path (f32 interpret: tight tolerance)."""
+    XLA einsum path (f32 interpret: tight tolerance) across head geometries
+    that exercise the adaptive 128-aligned head-group split."""
     from whisper_diarize_tpu.models import whisper as wm
 
-    L, B, H, Dh, Ta = 2, 2, 4, 8, 700
+    L, B, Ta = 2, 2, 700
     D = H * Dh
     cfg = wm.WhisperConfig(
         n_mels=8, n_vocab=64, n_audio_ctx=Ta, n_audio_state=D,
