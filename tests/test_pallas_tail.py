@@ -1,0 +1,152 @@
+"""Parity tests for the fused decoder-tail megakernel (ops/pallas_tail.py).
+
+The kernel must reproduce `models/whisper.py::_decoder_layer_tail` (with the
+tiled Pallas cross-attention path) bit-closely in f32 interpret mode, for
+greedy (beams=1) and beam-folded (beams>1) query shapes, including the
+padded final cross K/V tile.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_diarize_tpu.models import whisper as wm
+from whisper_diarize_tpu.ops import pallas_tail
+from whisper_diarize_tpu.ops.pallas_attn import tile_cross_kv
+
+
+def _mk(cfg, B, beams, Ta, t_tile, seed=0):
+    rng = np.random.default_rng(seed)
+    params = wm.init_params(cfg, seed=seed)
+    L, H, Dh = cfg.n_text_layer, cfg.n_text_head, cfg.head_dim
+    D = cfg.n_text_state
+    N = B * beams
+    x = jnp.asarray(rng.standard_normal((N, 1, D)), jnp.float32)
+    so = jnp.asarray(rng.standard_normal((N, H, 1, Dh)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.standard_normal((L, B, H, Ta, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, B, H, Ta, Dh)), jnp.float32)
+    k5, v5 = tile_cross_kv(k, v, t_tile=t_tile)
+    return params, x, so, k5, v5
+
+
+def _reference_tail(params, cfg, x, so, k5, v5, beams, layer):
+    """The XLA/_cross_pallas path the kernel replaces."""
+    cross_cache = {"k5": k5, "v5": v5}
+    cross_fn, cross_select, _ = wm._cross_attend_factory(
+        cfg, cross_cache, beams, x.dtype, 1)
+    blk = jax.tree.map(lambda a: a[layer], params["decoder"]["blocks"])
+    ck, cv = cross_select(layer)
+    return wm._decoder_layer_tail(
+        x, blk, so, cross_fn, ck, cv, jnp.int32(layer), cfg.n_text_head)
+
+
+@pytest.mark.parametrize("beams,Ta,t_tile", [
+    (1, 40, 16),   # greedy, padded final tile (40 = 2*16 + 8)
+    (3, 32, 16),   # beam-folded queries, exact tiles
+])
+def test_fused_tail_matches_xla(beams, Ta, t_tile):
+    cfg = wm.WhisperConfig(
+        n_mels=8, n_vocab=64, n_audio_ctx=Ta, n_audio_state=32,
+        n_audio_head=4, n_audio_layer=1, n_text_ctx=64, n_text_state=32,
+        n_text_head=4, n_text_layer=2,
+    )
+    B = 2
+    params, x, so, k5, v5 = _mk(cfg, B, beams, Ta, t_tile)
+    pack = pallas_tail.pack_tail_weights(params, cfg)
+    for layer in range(cfg.n_text_layer):
+        ref = _reference_tail(params, cfg, x, so, k5, v5, beams, layer)
+        got = pallas_tail.fused_tail_layer(
+            jnp.int32(layer), x, so, pack["w"], pack["b"], k5, v5,
+            beams=beams, ta_total=Ta, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def _attach_tail(params, cfg):
+    return {
+        **params,
+        "decoder": {
+            **params["decoder"],
+            "tail": pallas_tail.pack_tail_weights(params, cfg),
+        },
+    }
+
+
+def test_greedy_decode_tail_parity():
+    """End-to-end greedy decode with the fused tail attached must produce
+    the same tokens as the un-fused Pallas-cross path (interpret, f32)."""
+    from tests.test_whisper_model import TINY_TEST_CFG
+    from whisper_diarize_tpu.ops import decode as dec
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+
+    cfg = TINY_TEST_CFG
+    params = wm.init_params(cfg, seed=3)
+    mel = jnp.asarray(
+        np.random.default_rng(4).standard_normal((2, 80, 3000)), jnp.float32)
+    xa = wm.encode(params, mel, cfg)
+    tk = DebugTokenizer()
+    prompt = jnp.asarray(
+        np.tile(np.array(tk.sot_sequence(language="en"), np.int32), (2, 1)))
+    dc = dec.DecodeConfig(
+        max_tokens=10, blank_id=32, pallas_cross=True, unroll_layers=True)
+    r0 = dec.greedy_decode(
+        params, cfg, dc, tk.specials, xa, prompt, prompt.shape[1])
+    r1 = dec.greedy_decode(
+        _attach_tail(params, cfg), cfg, dc, tk.specials, xa, prompt,
+        prompt.shape[1])
+    np.testing.assert_array_equal(np.asarray(r0.tokens), np.asarray(r1.tokens))
+    np.testing.assert_allclose(
+        np.asarray(r0.token_probs), np.asarray(r1.token_probs),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_beam_decode_tail_parity():
+    from tests.test_whisper_model import TINY_TEST_CFG
+    from whisper_diarize_tpu.ops import decode as dec
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+
+    cfg = TINY_TEST_CFG
+    params = wm.init_params(cfg, seed=5)
+    mel = jnp.asarray(
+        np.random.default_rng(6).standard_normal((2, 80, 3000)), jnp.float32)
+    xa = wm.encode(params, mel, cfg)
+    tk = DebugTokenizer()
+    prompt = jnp.asarray(
+        np.tile(np.array(tk.sot_sequence(language="en"), np.int32), (2, 1)))
+    dc = dec.DecodeConfig(
+        max_tokens=8, beam_size=3, blank_id=32, pallas_cross=True,
+        unroll_layers=True)
+    r0 = dec.beam_decode(
+        params, cfg, dc, tk.specials, xa, prompt, prompt.shape[1])
+    r1 = dec.beam_decode(
+        _attach_tail(params, cfg), cfg, dc, tk.specials, xa, prompt,
+        prompt.shape[1])
+    np.testing.assert_array_equal(np.asarray(r0.tokens), np.asarray(r1.tokens))
+
+
+def test_pack_tail_weights_tile_layout():
+    cfg = wm.WhisperConfig(
+        n_mels=8, n_vocab=64, n_audio_ctx=32, n_audio_state=32,
+        n_audio_head=4, n_audio_layer=1, n_text_ctx=64, n_text_state=32,
+        n_text_head=4, n_text_layer=2,
+    )
+    params = wm.init_params(cfg, seed=1)
+    pack = pallas_tail.pack_tail_weights(params, cfg)
+    D = cfg.n_text_state
+    TW = pallas_tail._pick_tw(D)
+    n_d, n4 = D // TW, 4 * D // TW
+    blk = params["decoder"]["blocks"]
+    w = np.asarray(pack["w"])
+    assert w.shape[1] == 3 * n_d + 2 * n4
+    # o_w tile 0 is the first TW output columns
+    np.testing.assert_array_equal(w[:, 0], np.asarray(blk["o_w"][..., :TW]))
+    # fc2 tiles are transposed contraction slices
+    f2 = np.asarray(blk["fc2_w"])  # [L, 4D, D]
+    np.testing.assert_array_equal(
+        w[:, 3 * n_d + n4], np.transpose(f2[:, :TW, :], (0, 2, 1)))
+    # fc1 bias rows follow the 8 small rows
+    b = np.asarray(pack["b"])
+    np.testing.assert_array_equal(
+        b[:, pallas_tail.SMALL_ROWS:].reshape(b.shape[0], -1),
+        np.asarray(blk["fc1_b"]))

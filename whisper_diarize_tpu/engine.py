@@ -180,6 +180,16 @@ class Engine:
 
     def __init__(self, cfg: Optional[EngineConfig] = None):
         self.cfg = cfg or EngineConfig()
+        if self.cfg.enable_flash_attn:
+            # the reference toggles whisper.cpp's flash kernels
+            # (`transcribe.rs:139-141`); here attention fusion is XLA's job
+            # and the flash-decode Pallas kernel is on by default, so the
+            # knob is accepted for API parity but changes nothing.
+            logger.warning(
+                "enable_flash_attn=True has no effect on the TPU backend: "
+                "XLA fuses encoder attention and the Pallas flash decode "
+                "kernels are enabled by default"
+            )
         self.models = ModelManager(self.cfg.cache_dir)
 
     # ------------------------------------------------------------------

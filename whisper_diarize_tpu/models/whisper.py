@@ -717,6 +717,15 @@ def decode_step(
     )
 
     L = cfg.n_text_layer
+    # fused decoder-tail megakernel (ops/pallas_tail.py): one Pallas call
+    # absorbs o-proj + ln2 + cross-q + flash cross-attention + co-proj +
+    # ln3 + MLP, keeping the HBM DMA queue busy across the whole tail.
+    # Engaged when TranscribeStep attached a weight pack to the params
+    # (single-device, bf16-tiled cross cache, sampling steps only).
+    use_tail = (
+        dec.get("tail") is not None and S == 1 and unroll and mesh is None
+        and "k5" in cross_cache and S * beams <= 64
+    )
     if unroll:
         # static per-layer weight slices read in place; the tiny new K/V row
         # is written straight into the full stacked cache (40 KB, vs the
@@ -730,9 +739,18 @@ def decode_step(
             vc = jax.lax.dynamic_update_slice(
                 vc, v_new[None], (l, 0, 0, pos_offset, 0))
             self_out = _attn(q, kc[l], vc[l], mask)
-            ck, cv = cross_select(l)
-            x = _decoder_layer_tail(
-                x, blk, self_out, cross_fn, ck, cv, jnp.int32(l), H)
+            if use_tail:
+                from ..ops.pallas_tail import fused_tail_layer
+
+                x = fused_tail_layer(
+                    jnp.int32(l), x, self_out,
+                    dec["tail"]["w"], dec["tail"]["b"],
+                    cross_cache["k5"], cross_cache["v5"], beams=beams,
+                    ta_total=cfg.n_audio_ctx, interpret=_pallas_interpret())
+            else:
+                ck, cv = cross_select(l)
+                x = _decoder_layer_tail(
+                    x, blk, self_out, cross_fn, ck, cv, jnp.int32(l), H)
         new_cache = {"k": kc, "v": vc}
     else:
         def layer(carry, blk_and_cross):
@@ -995,6 +1013,12 @@ def decode_step_split(
         anc_j = (anc % beams).reshape(B, beams, Td).astype(jnp.int32)
 
     L = cfg.n_text_layer
+    # fused tail megakernel: same gate as decode_step (sampling steps are
+    # always S == 1 here)
+    use_tail = (
+        dec.get("tail") is not None and unroll and mesh is None
+        and "k5" in cross_cache and beams <= 64
+    )
     if unroll:
         dk, dv = decode_cache["k"], decode_cache["v"]
         pk, pv = prompt_cache["k"], prompt_cache["v"]
@@ -1014,9 +1038,18 @@ def decode_step_split(
             else:
                 self_out = split_attn(
                     q, pk[l], pv[l], _deref(dk[l]), _deref(dv[l]))
-            ck, cv = cross_select(l)
-            x = _decoder_layer_tail(
-                x, blk, self_out, cross_fn, ck, cv, jnp.int32(l), H)
+            if use_tail:
+                from ..ops.pallas_tail import fused_tail_layer
+
+                x = fused_tail_layer(
+                    jnp.int32(l), x, self_out,
+                    dec["tail"]["w"], dec["tail"]["b"],
+                    cross_cache["k5"], cross_cache["v5"], beams=beams,
+                    ta_total=cfg.n_audio_ctx, interpret=_pallas_interpret())
+            else:
+                ck, cv = cross_select(l)
+                x = _decoder_layer_tail(
+                    x, blk, self_out, cross_fn, ck, cv, jnp.int32(l), H)
         new_decode = {"k": dk, "v": dv}
     else:
         def layer(carry, xs):

@@ -44,6 +44,20 @@ def _resolve_pallas_split(dc: "DecodeConfig") -> bool:
     return dc.pallas_cross if dc.pallas_split is None else dc.pallas_split
 
 
+def _resolve_pallas_tail(dc: "DecodeConfig") -> bool:
+    """Fused decoder-tail megakernel: explicit knob wins, else follow
+    pallas_cross (it streams the same tiled cross cache); int8 cross K/V
+    and meshes fall back to the un-fused path. WDT_DISABLE_PALLAS_TAIL=1
+    opts out."""
+    import os
+
+    if os.environ.get("WDT_DISABLE_PALLAS_TAIL") == "1":
+        return False
+    if dc.quantize_cross_kv or dc.mesh is not None:
+        return False
+    return dc.pallas_cross if dc.pallas_tail is None else dc.pallas_tail
+
+
 def _resolve_unroll(dc: "DecodeConfig") -> bool:
     """Unrolled decoder layers for the sampling step: explicit knob wins,
     else on for the TPU backend only (CPU tests keep the cheap-to-compile
@@ -75,6 +89,11 @@ class DecodeConfig:
     # the XLA deref path's 3x, `ops/pallas_attn.py::split_self_attn_layer`).
     # None = follow pallas_cross.
     pallas_split: Optional[bool] = None
+    # Fused decoder-tail megakernel for sampling steps (o-proj + ln2 +
+    # cross-q + flash cross-attention + co-proj + ln3 + MLP in one Pallas
+    # call, `ops/pallas_tail.py`). None = follow pallas_cross; engaged by
+    # TranscribeStep attaching a packed weight bundle to the params.
+    pallas_tail: Optional[bool] = None
     # Unroll the decoder layer loop in the SAMPLING step (None = auto: on
     # for TPU). The lax.scan over stacked layers re-materializes every
     # layer's weights each step (~+1.7 GB/step HBM on large-v3; 13.1 ->

@@ -1,0 +1,319 @@
+"""Fused decoder-layer TAIL megakernel for sampling steps.
+
+One pallas_call per decoder layer absorbs everything after self-attention
+(`models/whisper.py::_decoder_layer_tail`, mirroring the per-layer tail of
+whisper.cpp's decoder graph the reference drives via `state.full`,
+`/root/reference/src/transcribe.rs:389`):
+
+    x += unheads(self_out) @ o_w + o_b
+    h  = ln2(x);  cq = heads(h @ cq_w + cq_b)
+    x += unheads(flash_cross(cq, K5, V5)) @ co_w + co_b
+    h  = ln3(x);  x += gelu(h @ fc1_w + fc1_b) @ fc2_w + fc2_b
+
+Why fuse: a large-v3 b16 sampling step is pure HBM streaming (~176 MB per
+layer: cross K/V ~123 MB + tail weights ~36 MB + self path ~17 MB) and the
+XLA step time sits ~35% above the bytes/bandwidth floor — op-boundary gaps
+where HBM idles, not compute. This kernel keeps the DMA queue busy across
+the whole tail: the cross K/V blocks ride the same auto-pipelined BlockSpec
+stream as `pallas_attn.py::cross_attn_layer` (layer index scalar-prefetched,
+grid (B, NT)), while the five projection matrices stream through a 3-slot
+round-robin manual-DMA pipeline (`make_async_copy`) as uniform [D, TW]
+tiles from one pre-packed [L, NTOT, D, TW] bundle (`pack_tail_weights`).
+
+Transposed-activation design: every intermediate is FEATURE-MAJOR
+([D, rows] instead of [rows, D]). Two birds: (1) the MXU emits projection
+outputs already transposed (weight tile as lhs, contraction on its input
+axis — the trick `pallas_attn.py::_cross_build_kernel` uses), so tile
+results land in place with no in-VMEM transpose; (2) the only reshapes are
+major-dim splits/merges ([D, KQ] -> [H, Dh, KQ]), which Mosaic supports,
+where row-major activations would need minor(lane)-dim splits, which it
+does not. The XLA caller passes x/self_out transposed (a few hundred KB,
+negligible next to the layer's streams).
+
+Numerics mirror the XLA tail op-for-op (bf16 matmuls with f32 accumulation
+cast back per op, f32 layernorm, f32 flash softmax identical to
+`cross_attn_layer`); parity is pinned by `tests/test_pallas_tail.py`.
+
+Single-device only: under a mesh the tail's projections contract the full
+feature axis (TP would need collectives inside the kernel), so callers
+fall back to the un-fused path (`models/whisper.py` gates on mesh is None).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_SLOTS = 3  # manual-DMA pipeline depth for the weight-tile stream
+SMALL_ROWS = 8  # ln2_s, ln2_b, ln3_s, ln3_b, o_b, cq_b, co_b, fc2_b
+
+
+def _pick_tw(D: int) -> int:
+    """Largest lane-aligned tile width dividing D (<= 640); tiny test
+    models (D < 128) use the full width."""
+    best = 0
+    for k in range(1, 6):
+        if D % (128 * k) == 0 and 128 * k <= 640:
+            best = 128 * k
+    return best if best else D
+
+
+def pack_tail_weights(params, cfg):
+    """Pre-pack the decoder tail weights for `fused_tail_layer`.
+
+    Returns {"w": [L, NTOT, D, TW], "b": [L, SMALL_ROWS + 4, D]} where the
+    tile axis holds, in order: o_w column tiles (D/TW), cq_w (D/TW), co_w
+    (D/TW), fc1_w column tiles (4D/TW), fc2_w contraction tiles TRANSPOSED
+    to [D, TW] (4D/TW) — one uniform tile shape so the kernel streams them
+    through a single buffer. Built once per model load (~2x the decoder
+    tail weights in HBM traffic); the original params stay authoritative
+    for prefill and the scan driver.
+    """
+    blk = params["decoder"]["blocks"]
+    D = cfg.n_text_state
+    TW = _pick_tw(D)
+    L = blk["o_w"].shape[0]
+
+    def col_tiles(w):  # [L, Din, Dout] -> [L, Dout//TW, Din, TW]
+        Din, Dout = w.shape[1], w.shape[2]
+        return jnp.transpose(
+            w.reshape(L, Din, Dout // TW, TW), (0, 2, 1, 3))
+
+    f2 = blk["fc2_w"]  # [L, 4D, D] -> contraction tiles [L, 4D//TW, D, TW]
+    f2t = jnp.transpose(f2.reshape(L, 4 * D // TW, TW, D), (0, 1, 3, 2))
+    w = jnp.concatenate(
+        [col_tiles(blk["o_w"]), col_tiles(blk["cq_w"]),
+         col_tiles(blk["co_w"]), col_tiles(blk["fc1_w"]), f2t],
+        axis=1,
+    )
+    b = jnp.concatenate(
+        [jnp.stack([blk["ln2_s"], blk["ln2_b"], blk["ln3_s"], blk["ln3_b"],
+                    blk["o_b"], blk["cq_b"], blk["co_b"], blk["fc2_b"]],
+                   axis=1),
+         blk["fc1_b"].reshape(L, 4, D)],
+        axis=1,
+    )
+    return {"w": w, "b": b}
+
+
+def _ln_t(v, g, beta, dtype, eps=1e-5):
+    """Feature-major layernorm: v [D, R], normalize over axis 0 (f32 math,
+    `models/whisper.py::_ln` transposed)."""
+    xf = v.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=0, keepdims=True)
+    var = jnp.var(xf, axis=0, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * g.astype(jnp.float32)[:, None]
+            + beta.astype(jnp.float32)[:, None]).astype(dtype)
+
+
+def _tail_kernel(D, TW, n_d, n4, KQ, H, Dh, TT, ta_total, scale,
+                 l_ref, xT_ref, soT_ref, sm_ref, w_hbm, k_ref, v_ref,
+                 o_ref, wbuf, x1T, cqT, coT, m_ref, l2_ref, acc_ref, sems):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    n_t = pl.num_programs(1)
+    l = l_ref[0]
+    dtype = x1T.dtype
+
+    def stream(tile_ids, consume):
+        """3-slot round-robin pipelined weight-tile stream: slot i%3 is
+        re-filled only after its previous consumer's (synchronous) reads
+        have issued — the guide's double-buffer discipline, depth 3."""
+        n = len(tile_ids)
+
+        def dma(i):
+            return pltpu.make_async_copy(
+                w_hbm.at[l, tile_ids[i]], wbuf.at[i % N_SLOTS],
+                sems.at[i % N_SLOTS])
+
+        for i in range(min(N_SLOTS - 1, n)):
+            dma(i).start()
+        for i in range(n):
+            if i + N_SLOTS - 1 < n:
+                dma(i + N_SLOTS - 1).start()
+            dma(i).wait()
+            consume(i, wbuf[i % N_SLOTS])
+
+    # ---- front phase: o-projection + residual, ln2, cross-q projection
+    @pl.when((b == 0) & (t == 0))
+    def _front():
+        sm = sm_ref[0]  # [SMALL_ROWS + 4, D]
+        soflat = soT_ref[...].reshape(D, soT_ref.shape[2])  # [D, N] major
+        h2 = [None]
+
+        def consume(i, wt):
+            if i < n_d:  # o_w tile i -> x1T columns
+                j = i
+                y = jax.lax.dot_general(
+                    wt, soflat, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                y = y + sm[4, j * TW:(j + 1) * TW].astype(
+                    jnp.float32)[:, None]
+                x1T[j * TW:(j + 1) * TW, :] = (
+                    xT_ref[j * TW:(j + 1) * TW, :] + y.astype(dtype))
+            else:  # cq_w tile -> cqT columns
+                j = i - n_d
+                if h2[0] is None:
+                    h2[0] = _ln_t(x1T[...], sm[0], sm[1], dtype)
+                y = jax.lax.dot_general(
+                    wt, h2[0], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                y = y + sm[5, j * TW:(j + 1) * TW].astype(
+                    jnp.float32)[:, None]
+                cqT[j * TW:(j + 1) * TW, :] = y.astype(dtype)
+
+        stream(list(range(2 * n_d)), consume)
+
+    # ---- flash cross-attention for stream b, K/V tile t (the math of
+    # pallas_attn.py::_flash_kernel, queries feature-major) ----
+    @pl.when(t == 0)
+    def _reset():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l2_ref[:] = jnp.zeros_like(l2_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    k = k_ref[0, 0, 0]  # [H, Dh, TT]
+    v = v_ref[0, 0, 0]
+    qT = cqT[:, pl.ds(b * KQ, KQ)]  # [D, KQ]
+    qh = qT.reshape(H, Dh, KQ).astype(jnp.float32) * scale
+    s = jax.lax.dot_general(
+        qh.astype(k.dtype), k, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [H, KQ, TT]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+    s = jnp.where((t * TT + col) < ta_total, s, -jnp.inf)
+
+    m_prev = m_ref[:]  # [H, KQ]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new[:, :, None])
+    l2_ref[:] = l2_ref[:] * alpha + jnp.sum(p, axis=-1)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [H, KQ, Dh]
+    acc_ref[:] = acc_ref[:] * alpha[:, :, None] + pv
+    m_ref[:] = m_new
+
+    @pl.when(t == n_t - 1)
+    def _finalize():
+        out = acc_ref[:] / l2_ref[:][:, :, None]  # [H, KQ, Dh]
+        coT[:, :, pl.ds(b * KQ, KQ)] = jnp.transpose(
+            out, (0, 2, 1)).astype(dtype)
+
+    # ---- tail phase: co-projection + residual, ln3, MLP + residual ----
+    @pl.when((b == n_b - 1) & (t == n_t - 1))
+    def _tail():
+        sm = sm_ref[0]
+        coflat = coT[...].reshape(D, coT.shape[2])  # [D, N]
+        h3 = [None]
+        h4 = [None]
+        mlp_acc = [jnp.zeros((D, coT.shape[2]), jnp.float32)]
+
+        def consume(i, wt):
+            if i < n_d:  # co_w tile -> x1T residual update
+                j = i
+                y = jax.lax.dot_general(
+                    wt, coflat, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                y = y + sm[6, j * TW:(j + 1) * TW].astype(
+                    jnp.float32)[:, None]
+                x1T[j * TW:(j + 1) * TW, :] = (
+                    x1T[j * TW:(j + 1) * TW, :] + y.astype(dtype))
+            elif (i - n_d) % 2 == 0:  # fc1 column tile j
+                j = (i - n_d) // 2
+                if h3[0] is None:
+                    h3[0] = _ln_t(x1T[...], sm[2], sm[3], dtype)
+                y = jax.lax.dot_general(
+                    wt, h3[0], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [TW, N]
+                # fc1 bias: flat slice [j*TW, (j+1)*TW) of the 4D vector,
+                # packed as rows SMALL_ROWS.. of the smalls bundle (TW
+                # divides D so a tile never straddles rows)
+                row = SMALL_ROWS + (j * TW) // D
+                colo = (j * TW) % D
+                y = y + sm[row, colo:colo + TW].astype(jnp.float32)[:, None]
+                h4[0] = jax.nn.gelu(y).astype(dtype)
+            else:  # fc2 contraction tile j (transposed to [D, TW])
+                mlp_acc[0] = mlp_acc[0] + jax.lax.dot_general(
+                    wt, h4[0], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+        ids = list(range(2 * n_d, 3 * n_d))  # co tiles
+        for j in range(n4):  # interleave fc1_j, fc2_j
+            ids.append(3 * n_d + j)
+            ids.append(3 * n_d + n4 + j)
+        stream(ids, consume)
+        y = mlp_acc[0] + sm[7].astype(jnp.float32)[:, None]  # + fc2_b
+        o_ref[...] = x1T[...] + y.astype(dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("beams", "ta_total", "interpret"))
+def fused_tail_layer(
+    layer_idx,          # scalar int32 — which layer's weights/K/V
+    x: jnp.ndarray,     # [N, 1, D] hidden after self-attention's residual input
+    self_out: jnp.ndarray,  # [N, H, 1, Dh] self-attention output (pre o-proj)
+    tail_w: jnp.ndarray,    # [L, NTOT, D, TW] pack_tail_weights()["w"]
+    tail_b: jnp.ndarray,    # [L, SMALL_ROWS+4, D] pack_tail_weights()["b"]
+    k5: jnp.ndarray,    # [L, B, NT, H, Dh, TT] pre-tiled cross keys
+    v5: jnp.ndarray,
+    beams: int = 1,
+    ta_total: int | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """One fused decoder-layer tail -> new hidden [N, 1, D]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if ta_total is None:
+        ta_total = k5.shape[2] * k5.shape[5]
+    N, _, D = x.shape
+    L, B, NT, H, Dh, TT = k5.shape
+    KQ = beams
+    NTOT, TW = tail_w.shape[1], tail_w.shape[3]
+    n_d = D // TW
+    n4 = (NTOT - 3 * n_d) // 2
+    scale = float(Dh) ** -0.5
+
+    xT = x[:, 0].T  # [D, N]
+    soT = jnp.transpose(self_out[:, :, 0], (1, 2, 0))  # [H, Dh, N]
+    l_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NT),
+        in_specs=[
+            pl.BlockSpec((D, N), lambda b, t, l: (0, 0)),
+            pl.BlockSpec((H, Dh, N), lambda b, t, l: (0, 0, 0)),
+            pl.BlockSpec((1, SMALL_ROWS + 4, D), lambda b, t, l: (l[0], 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, 1, H, Dh, TT),
+                         lambda b, t, l: (l[0], b, t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, H, Dh, TT),
+                         lambda b, t, l: (l[0], b, t, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((D, N), lambda b, t, l: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((N_SLOTS, D, TW), tail_w.dtype),  # weight tiles
+            pltpu.VMEM((D, N), x.dtype),                 # x1T residual
+            pltpu.VMEM((D, N), x.dtype),                 # cross queries
+            pltpu.VMEM((H, Dh, N), x.dtype),             # cross outputs
+            pltpu.VMEM((H, KQ), jnp.float32),            # flash running max
+            pltpu.VMEM((H, KQ), jnp.float32),            # flash normalizer
+            pltpu.VMEM((H, KQ, Dh), jnp.float32),        # flash accumulator
+            pltpu.SemaphoreType.DMA((N_SLOTS,)),
+        ],
+    )
+    outT = pl.pallas_call(
+        functools.partial(
+            _tail_kernel, D, TW, n_d, n4, KQ, H, Dh, TT, int(ta_total),
+            scale),
+        out_shape=jax.ShapeDtypeStruct((D, N), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(l_arr, xT, soT, tail_b, tail_w, k5, v5)
+    return outT.T[:, None, :]

@@ -157,6 +157,21 @@ class TranscribeStep:
 
             self.params = shard_params(self.params, mesh)
             self._suppress = jax.device_put(self._suppress, replicate(mesh))
+        elif dec._resolve_pallas_tail(self.dc):
+            # fused decoder-tail megakernel: pre-pack the tail projection
+            # weights once per model load (`ops/pallas_tail.py`); the pack
+            # rides inside the params pytree so the jitted decode loops
+            # need no extra plumbing, and decode_step engages the kernel
+            # only on single-token steps over the bf16 tiled cross cache
+            from .ops.pallas_tail import pack_tail_weights
+
+            self.params = {
+                **self.params,
+                "decoder": {
+                    **self.params["decoder"],
+                    "tail": pack_tail_weights(self.params, cfg),
+                },
+            }
         self._encode = jax.jit(lambda p, m: wm.encode(p, m, cfg))
         self._align = jax.jit(
             lambda p, t, xa: wm.alignment_cross_attn(p, cfg, t, xa, self.heads)
