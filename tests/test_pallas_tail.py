@@ -63,14 +63,57 @@ def test_fused_tail_matches_xla(beams, Ta, t_tile):
             np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-def _attach_tail(params, cfg):
-    return {
-        **params,
-        "decoder": {
-            **params["decoder"],
-            "tail": pallas_tail.pack_tail_weights(params, cfg),
-        },
-    }
+@pytest.mark.parametrize("pos,rp", [(5, (0, 0)), (7, (2, 0))])
+def test_fused_front_matches_xla(pos, rp):
+    """fused_front_layer must match _decoder_qkv + cache write + _attn on
+    the greedy path (per-row prompt pads included)."""
+    cfg = wm.WhisperConfig(
+        n_mels=8, n_vocab=64, n_audio_ctx=32, n_audio_state=32,
+        n_audio_head=4, n_audio_layer=1, n_text_ctx=64, n_text_state=32,
+        n_text_head=4, n_text_layer=2,
+    )
+    B, Tc = 2, 16
+    H, Dh = cfg.n_text_head, cfg.head_dim
+    rng = np.random.default_rng(7)
+    params = wm.init_params(cfg, seed=7)
+    x = jnp.asarray(rng.standard_normal((B, 1, cfg.n_text_state)), jnp.float32)
+    kc = jnp.asarray(
+        rng.standard_normal((cfg.n_text_layer, B, H, Tc, Dh)), jnp.float32)
+    vc = jnp.asarray(
+        rng.standard_normal((cfg.n_text_layer, B, H, Tc, Dh)), jnp.float32)
+    row_pad = jnp.asarray(rp, jnp.int32)
+    pack = pallas_tail.pack_front_weights(params, cfg)
+
+    # reference: the decode_step greedy-path mask (buffer slot `pos`)
+    kpos = jnp.arange(Tc)[None, None, :]
+    qpos = jnp.int32(pos)
+    valid = (kpos <= qpos) & (
+        (kpos >= row_pad[:, None, None]) | (kpos == qpos))
+    mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
+
+    for layer in range(cfg.n_text_layer):
+        blk = jax.tree.map(lambda a: a[layer], params["decoder"]["blocks"])
+        q, k_new, v_new = wm._decoder_qkv(x, blk, H)
+        kc_w = kc.at[layer, :, :, pos].set(k_new[:, :, 0])
+        vc_w = vc.at[layer, :, :, pos].set(v_new[:, :, 0])
+        ref = wm._attn(q, kc_w[layer], vc_w[layer], mask)
+
+        so, kn, vn = pallas_tail.fused_front_layer(
+            jnp.int32(layer), jnp.int32(pos), row_pad, x,
+            pack["w"], pack["b"], kc, vc, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(kn), np.asarray(k_new), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(vn), np.asarray(v_new), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(so), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def _attach_tail(params, cfg, front=True):
+    extra = {"tail": pallas_tail.pack_tail_weights(params, cfg)}
+    if front:
+        extra["front"] = pallas_tail.pack_front_weights(params, cfg)
+    return {**params, "decoder": {**params["decoder"], **extra}}
 
 
 def test_greedy_decode_tail_parity():
@@ -99,6 +142,11 @@ def test_greedy_decode_tail_parity():
     np.testing.assert_allclose(
         np.asarray(r0.token_probs), np.asarray(r1.token_probs),
         rtol=1e-4, atol=1e-5)
+    # tail-only (no front pack) must also agree
+    r2 = dec.greedy_decode(
+        _attach_tail(params, cfg, front=False), cfg, dc, tk.specials, xa,
+        prompt, prompt.shape[1])
+    np.testing.assert_array_equal(np.asarray(r0.tokens), np.asarray(r2.tokens))
 
 
 def test_beam_decode_tail_parity():

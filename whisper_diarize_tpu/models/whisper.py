@@ -726,19 +726,33 @@ def decode_step(
         dec.get("tail") is not None and S == 1 and unroll and mesh is None
         and "k5" in cross_cache and S * beams <= 64
     )
+    # companion front kernel (ln1 + qkv + self-attention fused): greedy
+    # steps only — beam search fronts go through decode_step_split
+    use_front = use_tail and beams == 1 and dec.get("front") is not None
     if unroll:
         # static per-layer weight slices read in place; the tiny new K/V row
         # is written straight into the full stacked cache (40 KB, vs the
         # scan's full-slice ys write)
         kc, vc = self_cache["k"], self_cache["v"]
+        rp_arr = row_pad if row_pad is not None else jnp.zeros((B,), jnp.int32)
         for l in range(L):
-            blk = jax.tree.map(lambda a: a[l], dec["blocks"])
-            q, k_new, v_new = _decoder_qkv(x, blk, H)
+            if use_front:
+                from ..ops.pallas_tail import fused_front_layer
+
+                self_out, k_new, v_new = fused_front_layer(
+                    jnp.int32(l), pos_offset, rp_arr, x,
+                    dec["front"]["w"], dec["front"]["b"], kc, vc,
+                    interpret=_pallas_interpret())
+                blk = None
+            else:
+                blk = jax.tree.map(lambda a: a[l], dec["blocks"])
+                q, k_new, v_new = _decoder_qkv(x, blk, H)
             kc = jax.lax.dynamic_update_slice(
                 kc, k_new[None], (l, 0, 0, pos_offset, 0))
             vc = jax.lax.dynamic_update_slice(
                 vc, v_new[None], (l, 0, 0, pos_offset, 0))
-            self_out = _attn(q, kc[l], vc[l], mask)
+            if not use_front:
+                self_out = _attn(q, kc[l], vc[l], mask)
             if use_tail:
                 from ..ops.pallas_tail import fused_tail_layer
 

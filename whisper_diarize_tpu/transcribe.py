@@ -163,13 +163,14 @@ class TranscribeStep:
             # rides inside the params pytree so the jitted decode loops
             # need no extra plumbing, and decode_step engages the kernel
             # only on single-token steps over the bf16 tiled cross cache
-            from .ops.pallas_tail import pack_tail_weights
+            from .ops.pallas_tail import pack_front_weights, pack_tail_weights
 
             self.params = {
                 **self.params,
                 "decoder": {
                     **self.params["decoder"],
                     "tail": pack_tail_weights(self.params, cfg),
+                    "front": pack_front_weights(self.params, cfg),
                 },
             }
         self._encode = jax.jit(lambda p, m: wm.encode(p, m, cfg))
