@@ -67,6 +67,20 @@ def bench_config(model: str, *, beam: int = 1, diarize: bool = False,
             and os.environ.get("WDT_DISABLE_PALLAS_ATTN") != "1"
         ),
     )
+    if dec._resolve_pallas_tail(dc):
+        # fused decoder megakernels need their weight packs in the params
+        # pytree (same attach TranscribeStep does on model load)
+        from whisper_diarize_tpu.ops.pallas_tail import (
+            pack_front_weights, pack_tail_weights)
+
+        params = {
+            **params,
+            "decoder": {
+                **params["decoder"],
+                "tail": pack_tail_weights(params, cfg),
+                "front": pack_front_weights(params, cfg),
+            },
+        }
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(

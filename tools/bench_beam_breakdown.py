@@ -123,6 +123,15 @@ def main() -> None:
         max_tokens=STEPS, with_timestamps=True, beam_size=K,
         pallas_cross=jax.default_backend() == "tpu",
     )
+    if dec._resolve_pallas_tail(dc):
+        # beam path uses the tail megakernel when the pack is attached
+        from whisper_diarize_tpu.ops.pallas_tail import pack_tail_weights
+
+        params = {
+            **params,
+            "decoder": {**params["decoder"],
+                        "tail": pack_tail_weights(params, cfg)},
+        }
     suppress = jnp.asarray(
         dec.build_suppress_mask(sp, V, extra_suppress=[sp.eot]))
     xa = jnp.asarray(

@@ -58,6 +58,19 @@ def main() -> None:
         max_tokens=STEPS, with_timestamps=True,
         pallas_cross=jax.default_backend() == "tpu",
     )
+    if dec._resolve_pallas_tail(dc):
+        # megakernel weight packs (same attach TranscribeStep/bench.py do)
+        from whisper_diarize_tpu.ops.pallas_tail import (
+            pack_front_weights, pack_tail_weights)
+
+        params = {
+            **params,
+            "decoder": {
+                **params["decoder"],
+                "tail": pack_tail_weights(params, cfg),
+                "front": pack_front_weights(params, cfg),
+            },
+        }
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal((B, N_SAMPLES)).astype(np.float32) * 0.1)
     prompt = jnp.asarray(
