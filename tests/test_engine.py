@@ -139,6 +139,36 @@ def test_dtw_enabled_path(snapshot_dir, tmp_path, wav_path):
         assert w.probability is None or 0.0 <= w.probability <= 1.0
 
 
+def test_dtw_pipelined_matches_serial(snapshot_dir, tmp_path, monkeypatch):
+    """The one-deep DTW software pipeline (anchors of batch i computed on a
+    worker thread while batch i+1 decodes) must be output-identical to the
+    serial path (WDT_SERIAL_DTW=1). Multi-window audio + batch_size=1 forces
+    several flush_pending cycles."""
+    from whisper_diarize_tpu.audio import write_wav
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(16000 * 65) * 5000).astype(np.int16)
+    p = tmp_path / "long.wav"
+    write_wav(str(p), x)
+    opts = TranscribeOptions(enable_vad=False, lang="en")
+
+    def run():
+        eng = make_engine(snapshot_dir, tmp_path, enable_dtw=True,
+                          batch_size=1)
+        return eng.transcribe_audio(str(p), opts)
+
+    monkeypatch.setenv("WDT_SERIAL_DTW", "1")
+    serial = run()
+    monkeypatch.delenv("WDT_SERIAL_DTW")
+    pipelined = run()
+    assert len(serial) == len(pipelined)
+    for a, b in zip(serial, pipelined):
+        assert (a.start, a.end, a.text) == (b.start, b.end, b.text)
+        aw, bw = a.words or [], b.words or []
+        assert [(w.text, w.start, w.end) for w in aw] == [
+            (w.text, w.start, w.end) for w in bw]
+
+
 def test_dtw_word_span_invariants(snapshot_dir):
     """Step-level DTW invariants, deterministic: decode a window, build chunk
     results with DTW enabled, and check every token span is inside the chunk,

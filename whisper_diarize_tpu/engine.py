@@ -68,6 +68,44 @@ logger = logging.getLogger(__name__)
 UNBOUNDED_SPEAKERS = 2**62  # usize::MAX analogue (`engine.rs:108-111`)
 
 
+class _AsyncResult:
+    """Run a host thunk on a daemon thread; `.result()` joins and re-raises.
+
+    Used to overlap the DTW host backtrack (cost fetch + banded DP) of batch
+    i with the device decode of batch i+1 — the main thread spends the
+    decode blocked in device fetches with the GIL released, so the worker
+    gets the CPU. `WDT_SERIAL_DTW=1` runs the thunk inline instead
+    (equivalence testing / debugging)."""
+
+    def __init__(self, thunk):
+        import threading
+
+        self._value = None
+        self._error: Optional[BaseException] = None
+        if os.environ.get("WDT_SERIAL_DTW") == "1":
+            self._thread = None
+            self._run(thunk)
+        else:
+            self._thread = threading.Thread(
+                target=self._run, args=(thunk,), daemon=True,
+                name="wdt-dtw-backtrack",
+            )
+            self._thread.start()
+
+    def _run(self, thunk) -> None:
+        try:
+            self._value = thunk()
+        except BaseException as e:  # re-raised on the main thread
+            self._error = e
+
+    def result(self):
+        if self._thread is not None:
+            self._thread.join()
+        if self._error is not None:
+            raise self._error
+        return self._value
+
+
 class _ResumeJournal:
     """Append-only JSONL store of per-window decode results.
 
@@ -721,6 +759,103 @@ class Engine:
             return campplus.embed_from_audio(
                 emb_params, audio_dev, jnp.asarray(n_valid, jnp.int32))
 
+        # one-deep software pipeline: batch i's segment finalization (DTW
+        # anchors + word spans + journal/emit) is deferred until batch i+1
+        # has decoded, so the host backtrack overlaps device work; the
+        # closure runs on the MAIN thread (callbacks stay single-threaded
+        # and chronological), only the anchors thunk runs on a worker
+        pending: List[Optional[Any]] = [None]
+
+        def flush_pending() -> None:
+            fin, pending[0] = pending[0], None
+            if fin is not None:
+                fin()
+
+        def make_finalize(decode_group, adv_steps, ns_flags, row_temps,
+                          anchors_async, res, xa, n_valid):
+            def finalize() -> None:
+                nonlocal empty_segments, total_chars
+                anchors = (
+                    anchors_async.result()
+                    if anchors_async is not None else None
+                )
+                crs = step.build_chunk_results(
+                    res, xa, n_valid, translated,
+                    anchors_all=(
+                        anchors if anchors is not None
+                        else [None] * len(n_valid)
+                    ),
+                )
+                for j, w in enumerate(decode_group):
+                    cr = crs[j]
+                    si = w.stream_idx
+                    base_offset = w.start + user_offset
+                    key = (si, w.chunk_idx, w.window_idx)
+                    adv_step = adv_steps[j]
+
+                    if ns_flags[j]:
+                        results[key] = None
+                        if journal is not None:
+                            journal.put(w.chunk_idx, w.window_idx, None, si,
+                                        adv=adv_step)
+                        continue
+
+                    text = cr.text.lstrip()
+                    approx_start = base_offset + cr.seg_start
+                    approx_end = base_offset + cr.seg_end
+
+                    if translated:
+                        from .transcribe import interpolate_word_timestamps
+
+                        word_timestamps = interpolate_word_timestamps(
+                            text, approx_start, approx_end
+                        )
+                    else:
+                        word_timestamps = [
+                            WordTimestamp(
+                                text=wt.text,
+                                start=wt.start + base_offset,
+                                end=wt.end + base_offset,
+                                probability=wt.probability,
+                            )
+                            for wt in cr.words
+                        ]
+
+                    seg_start = (
+                        word_timestamps[0].start if word_timestamps
+                        else approx_start
+                    )
+                    seg_end = (
+                        word_timestamps[-1].end if word_timestamps
+                        else approx_end
+                    )
+
+                    if not text.strip():
+                        empty_segments += 1
+                        logger.warning(
+                            "empty segment in [%.2f-%.2f]",
+                            approx_start, approx_end,
+                        )
+                    total_chars += len(text)
+
+                    segment = Segment(
+                        start=seg_start,
+                        end=seg_end,
+                        text=text,
+                        words=word_timestamps or None,
+                        speaker_id=(
+                            chunk_speakers.get((si, w.chunk_idx))
+                            if diarize_options is not None
+                            else None
+                        ),
+                    )
+                    results[key] = segment
+                    if journal is not None:
+                        journal.put(w.chunk_idx, w.window_idx, segment, si,
+                                    adv=adv_step)
+
+            return finalize
+
         def assign_speakers(fresh, late, embs_dev) -> None:
             from .models import campplus
 
@@ -830,12 +965,27 @@ class Engine:
                 emb_plan = emb_dev = None
                 if diarize_options is not None:
                     # enqueue the device embedding pass FIRST: it overlaps
-                    # the host DTW backtrack inside build_chunk_results
+                    # the host token pass below
                     emb_plan = plan_embeddings(decode_group)
                     emb_dev = dispatch_embeddings(
                         emb_plan[0], audio_dev, n_valid)
-                chunk_results = step.build_chunk_results(
-                    res, xa, n_valid, translated
+                # dispatch this batch's alignment pass (device) and hand the
+                # host DTW backtrack to a worker thread: it runs while the
+                # NEXT batch decodes on the device, instead of serializing
+                # the two (the cost fetch rides the tunnel concurrently)
+                align_thunk = step.start_alignment(
+                    res, xa, n_valid, translated)
+                anchors_async = (
+                    _AsyncResult(align_thunk)
+                    if align_thunk is not None else None
+                )
+                # phase A (token-only, no DTW): everything the NEXT batch
+                # depends on — seek advance, no-speech decision, rolling
+                # prompt carry — computed now; segment finalization waits
+                # for the anchors
+                crs_a = step.build_chunk_results(
+                    res, xa, n_valid, translated,
+                    anchors_all=[None] * len(n_valid),
                 )
                 stage_s["decode"] += _time.perf_counter() - t0
 
@@ -844,10 +994,11 @@ class Engine:
                     assign_speakers(emb_plan[0], emb_plan[1], emb_dev)
                     stage_s["embed"] += _time.perf_counter() - t0
 
+                adv_steps: List[int] = []
+                ns_flags: List[bool] = []
                 for j, w in enumerate(decode_group):
-                    cr = chunk_results[j]
+                    cr = crs_a[j]
                     si = w.stream_idx
-                    base_offset = w.start + user_offset
 
                     # whisper.cpp seek: a full window advances to its last
                     # sampled timestamp so the next window starts on a
@@ -857,84 +1008,44 @@ class Engine:
                         if cr.end_ts is not None
                         else None
                     )
-                    adv_step = sched.advance(w, seek_samples)
-
-                    key = (si, w.chunk_idx, w.window_idx)
+                    adv_steps.append(sched.advance(w, seek_samples))
 
                     # no-speech suppression (whisper policy: high
                     # P(<|nospeech|>) AND low avg logprob -> silence)
-                    if (
+                    ns = (
                         cr.no_speech_prob > self.cfg.no_speech_threshold
                         and cr.avg_logprob < -1.0
-                    ):
-                        results[key] = None
-                        if journal is not None:
-                            journal.put(w.chunk_idx, w.window_idx, None, si,
-                                        adv=adv_step)
+                    )
+                    ns_flags.append(ns)
+                    if ns:
                         continue
-
-                    text = cr.text.lstrip()
-                    approx_start = base_offset + cr.seg_start
-                    approx_end = base_offset + cr.seg_end
-
-                    if translated:
-                        from .transcribe import interpolate_word_timestamps
-
-                        word_timestamps = interpolate_word_timestamps(
-                            text, approx_start, approx_end
-                        )
-                    else:
-                        word_timestamps = [
-                            WordTimestamp(
-                                text=wt.text,
-                                start=wt.start + base_offset,
-                                end=wt.end + base_offset,
-                                probability=wt.probability,
-                            )
-                            for wt in cr.words
-                        ]
-
-                    seg_start = (
-                        word_timestamps[0].start if word_timestamps else approx_start
-                    )
-                    seg_end = (
-                        word_timestamps[-1].end if word_timestamps else approx_end
-                    )
-
-                    if not text.strip():
-                        empty_segments += 1
-                        logger.warning(
-                            "empty segment in [%.2f-%.2f]", approx_start, approx_end
-                        )
-                    total_chars += len(text)
 
                     # prompt-carry policy: an empty window resets the carried
                     # text (the reference decodes the next chunk without a
                     # prompt, `transcribe.rs:502`); openai-whisper also resets
                     # after a fallback retry at temperature > 0.5
+                    text = cr.text.lstrip()
                     if not text.strip() or float(row_temps[j]) > 0.5:
                         previous_texts[si] = None
                     else:
                         previous_texts[si] = text
 
-                    segment = Segment(
-                        start=seg_start,
-                        end=seg_end,
-                        text=text,
-                        words=word_timestamps or None,
-                        speaker_id=(
-                            chunk_speakers.get((si, w.chunk_idx))
-                            if diarize_options is not None
-                            else None
-                        ),
-                    )
-                    results[key] = segment
-                    if journal is not None:
-                        journal.put(w.chunk_idx, w.window_idx, segment, si,
-                                    adv=adv_step)
+                # the previous batch's backtrack ran while this batch
+                # decoded — emit its segments now, then queue this batch
+                flush_pending()
+                pending[0] = make_finalize(
+                    decode_group, adv_steps, ns_flags, row_temps,
+                    anchors_async, res, xa, n_valid,
+                )
+            else:
+                flush_pending()
 
             for si in range(S):
                 try_emit(si)
+
+        flush_pending()
+        for si in range(S):
+            try_emit(si)
 
         if journal is not None:
             journal.close()

@@ -441,14 +441,91 @@ class TranscribeStep:
         return [LANGUAGES[int(i)] for i in idx]
 
     # -- result assembly -----------------------------------------------------
+    def start_alignment(
+        self,
+        result: dec.DecodeResult,
+        xa: jnp.ndarray,
+        chunk_samples: Sequence[int],
+        translated: bool,
+    ):
+        """Dispatch the batched teacher-forced alignment pass and return a
+        host thunk computing per-row DTW anchor times (None when DTW is
+        off/empty/translated).
+
+        The device work is enqueued here (async dispatch); the thunk only
+        fetches the reduced [B, S, Ta] cost matrix and runs the host DTW
+        backtrack. The Engine runs the thunk on a worker thread so the
+        backtrack overlaps the NEXT batch's device decode instead of
+        serializing with it (the reference interleaves whisper.cpp's own
+        DTW with nothing, `transcribe.rs:273-306`)."""
+        if not (self.enable_dtw and not translated):
+            return None
+        tokens = np.asarray(result.tokens)
+        lengths = np.asarray(result.lengths)
+        B = tokens.shape[0]
+        max_len = int(lengths.max()) if B else 0
+        if max_len == 0:
+            return None
+        # pad the token axis to a 32-bucket so the jitted alignment
+        # pass compiles once per bucket, not once per length
+        max_len = min(-(-max_len // 32) * 32, self.cfg.n_text_ctx - 8)
+        sot = self.tk.sot_sequence(language="en")  # timing-only pass
+        pad = np.full((B, max_len), self.sp.eot, np.int32)
+        for b in range(B):
+            pad[b, : lengths[b]] = tokens[b, : lengths[b]]
+        seq = np.concatenate(
+            [np.tile(np.array(sot, np.int32), (B, 1)), pad], axis=1
+        )
+        n_frames_arr = np.array(
+            [
+                max(min(
+                    int(np.ceil(chunk_samples[b] / (SAMPLE_RATE * dtw_ops.FRAME_SECONDS))),
+                    self.cfg.n_audio_ctx,
+                ), 1)
+                for b in range(B)
+            ],
+            np.int32,
+        )
+        # valid token rows for the standardization: sot + text + eot
+        n_rows_arr = np.minimum(
+            len(sot) + lengths.astype(np.int32) + 1, seq.shape[1]
+        )
+        cost_dev = self._align_cost(
+            self.params, jnp.asarray(seq), xa,
+            jnp.asarray(n_frames_arr), jnp.asarray(n_rows_arr),
+        )
+        sot_len = len(sot)
+
+        def backtrack() -> List[Optional[np.ndarray]]:
+            cost = np.asarray(cost_dev)  # host fetch (worker thread)
+            anchors_all: List[Optional[np.ndarray]] = [None] * B
+            for b in range(B):
+                n_tok = int(lengths[b])
+                if n_tok == 0:
+                    continue
+                # rows: the sampled text tokens only (sot rows dropped,
+                # like openai's matrix[len(sot_sequence):-1])
+                cost_b = cost[b][sot_len: sot_len + n_tok, : n_frames_arr[b]]
+                anchors_all[b] = dtw_ops.anchor_times_from_cost(
+                    np.ascontiguousarray(cost_b), n_tok
+                )
+            return anchors_all
+
+        return backtrack
+
     def build_chunk_results(
         self,
         result: dec.DecodeResult,
         xa: jnp.ndarray,
         chunk_samples: Sequence[int],  # valid samples per batch row
         translated: bool,
+        anchors_all: Optional[List[Optional[np.ndarray]]] = None,
     ) -> List[ChunkResult]:
-        """Host-side: token ids -> text + token-level word spans per chunk."""
+        """Host-side: token ids -> text + token-level word spans per chunk.
+
+        `anchors_all` carries precomputed DTW anchors from a
+        `start_alignment` thunk (the Engine's pipelined path); None runs
+        the alignment pass inline (serial path, identical output)."""
         tokens = np.asarray(result.tokens)
         lengths = np.asarray(result.lengths)
         probs = np.asarray(result.token_probs)
@@ -456,51 +533,9 @@ class TranscribeStep:
         nsp = np.asarray(result.no_speech_prob)
         B = tokens.shape[0]
 
-        # DTW pass (one batched teacher-forced call) on the sampled tokens
-        anchors_all: List[Optional[np.ndarray]] = [None] * B
-        if self.enable_dtw and not translated:
-            max_len = int(lengths.max()) if B else 0
-            if max_len > 0:
-                # pad the token axis to a 32-bucket so the jitted alignment
-                # pass compiles once per bucket, not once per length
-                max_len = min(-(-max_len // 32) * 32, self.cfg.n_text_ctx - 8)
-                sot = self.tk.sot_sequence(language="en")  # timing-only pass
-                pad = np.full((B, max_len), self.sp.eot, np.int32)
-                for b in range(B):
-                    pad[b, : lengths[b]] = tokens[b, : lengths[b]]
-                seq = np.concatenate(
-                    [np.tile(np.array(sot, np.int32), (B, 1)), pad], axis=1
-                )
-                n_frames_arr = np.array(
-                    [
-                        max(min(
-                            int(np.ceil(chunk_samples[b] / (SAMPLE_RATE * dtw_ops.FRAME_SECONDS))),
-                            self.cfg.n_audio_ctx,
-                        ), 1)
-                        for b in range(B)
-                    ],
-                    np.int32,
-                )
-                # valid token rows for the standardization: sot + text + eot
-                n_rows_arr = np.minimum(
-                    len(sot) + lengths.astype(np.int32) + 1, seq.shape[1]
-                )
-                cost = np.asarray(self._align_cost(
-                    self.params, jnp.asarray(seq), xa,
-                    jnp.asarray(n_frames_arr), jnp.asarray(n_rows_arr),
-                ))
-                for b in range(B):
-                    n_tok = int(lengths[b])
-                    if n_tok == 0:
-                        continue
-                    # rows: the sampled text tokens only (sot rows dropped,
-                    # like openai's matrix[len(sot_sequence):-1])
-                    cost_b = cost[b][
-                        len(sot): len(sot) + n_tok, : n_frames_arr[b]
-                    ]
-                    anchors_all[b] = dtw_ops.anchor_times_from_cost(
-                        np.ascontiguousarray(cost_b), n_tok
-                    )
+        if anchors_all is None:
+            thunk = self.start_alignment(result, xa, chunk_samples, translated)
+            anchors_all = thunk() if thunk is not None else [None] * B
 
         out: List[ChunkResult] = []
         for b in range(B):
