@@ -101,6 +101,32 @@ def main() -> None:
         params, cfg, dc, sp, xa, prompt, P, suppress_mask=suppress
     )
 
+    # --- prefill sub-breakdown (where does t_pre go?) --------------------
+    cross_fn = jax.jit(
+        lambda p, a: dec.build_cross_cache(p, cfg, dc, a), static_argnums=()
+    )
+    cross_probe = cross_fn(params, xa)
+    leaf = jax.tree.leaves(cross_probe)[0]
+    t_cross = best_of(lambda: jax.tree.leaves(cross_fn(params, xa))[0]
+                      .reshape(-1)[:1])
+    print(f"  cross_kv   {t_cross*1e3:8.1f} ms  (build_cross_cache alone)")
+
+    max_steps = min(dc.max_tokens, cfg.n_text_ctx - P - 1)
+    cache_len = min(cfg.n_text_ctx, -(-(P + max_steps + 1) // 16) * 16)
+
+    @jax.jit
+    def prompt_fwd(p, cross):
+        cache = wm.init_self_cache(cfg, B, xa.dtype, cache_len)
+        logits_all, cache = wm.decode_step(
+            p, cfg, prompt, jnp.int32(0), cache, cross)
+        return logits_all[:, -1, :1]
+
+    t_pf = best_of(lambda: prompt_fwd(params, cross_probe))
+    print(f"  prompt_fwd {t_pf*1e3:8.1f} ms  (cache init + prompt decode_step)")
+    print(f"  residual   {(t_pre - t_cross - t_pf)*1e3:8.1f} ms  "
+          f"(softmax/no-speech/dispatch)")
+    del cross_probe, leaf
+
     def run(budget):
         # greedy_run donates its state: hand it a fresh copy every call
         # (constant per-call cost, cancelled by the slope method)
