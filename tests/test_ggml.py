@@ -147,6 +147,129 @@ def test_vocab_tokenizer_decode_and_greedy_encode():
     assert tk.decode([tk.specials.eot, 0]) == "hello"
 
 
+# ---------------------------------------------------------------------------
+# Quantized checkpoints (ggerganov/whisper.cpp also ships q5_0/q5_1/q8_0
+# files; whisper.cpp additionally accepts q4_0/q4_1)
+# ---------------------------------------------------------------------------
+
+QTYPES = {
+    "q4_0": ggml.GGML_TYPE_Q4_0, "q4_1": ggml.GGML_TYPE_Q4_1,
+    "q5_0": ggml.GGML_TYPE_Q5_0, "q5_1": ggml.GGML_TYPE_Q5_1,
+    "q8_0": ggml.GGML_TYPE_Q8_0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(QTYPES))
+def test_quant_blocks_exact_on_grid(name):
+    """Data constructed exactly on the type's quantization grid survives a
+    quantize -> dequantize round trip bit-exactly (pins the block layout,
+    nibble packing, q5 high bits, and the scale storage)."""
+    qt = QTYPES[name]
+    rng = np.random.default_rng(3)
+    nb = 7
+    if name in ("q4_0", "q5_0", "q8_0"):
+        # x = d * (q - bias), d fp16-exact, extreme q present in every block
+        levels, bias = {"q4_0": (16, 8), "q5_0": (32, 16),
+                        "q8_0": (255, 127)}[name]
+        q = rng.integers(0, levels, (nb, 32))
+        q[:, 0] = 0  # q - bias = -bias is the max-|x| element, negative
+        x = 0.5 * (q - bias)
+    else:
+        levels = 16 if name == "q4_1" else 32
+        q = rng.integers(0, levels, (nb, 32))
+        q[:, 0] = 0
+        q[:, 1] = levels - 1  # pin min and max on the grid
+        x = 0.5 * q + (-3.5)
+    x = x.astype(np.float32)
+    raw = ggml.quantize_blocks(x, qt)
+    bs = {"q4_0": 18, "q4_1": 20, "q5_0": 22, "q5_1": 24, "q8_0": 34}[name]
+    assert raw.shape == (nb, bs)
+    got = ggml.dequantize_blocks(raw, qt, x.size).reshape(nb, 32)
+    np.testing.assert_array_equal(got, x)
+
+
+@pytest.mark.parametrize("name", sorted(QTYPES))
+def test_quant_blocks_error_bound(name):
+    """Random data round-trips within one quantization step per block."""
+    qt = QTYPES[name]
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((11, 32)).astype(np.float32)
+    got = ggml.dequantize_blocks(
+        ggml.quantize_blocks(x, qt), qt, x.size).reshape(11, 32)
+    amax = np.abs(x).max(axis=1, keepdims=True)
+    span = x.max(axis=1, keepdims=True) - x.min(axis=1, keepdims=True)
+    step = {
+        "q4_0": amax / 8, "q5_0": amax / 16, "q8_0": amax / 127,
+        "q4_1": span / 15, "q5_1": span / 31,
+    }[name]
+    # one step + fp16 scale rounding headroom
+    assert np.max(np.abs(got - x) / step) <= 1.02
+
+
+def test_ggml_quantized_file_roundtrip(tmp_path):
+    tensors = _openai_tensors(TINY, seed=2)
+    path = tmp_path / "ggml-tiny-q5_0.bin"
+    ggml.write_ggml(path, tensors, _hparams(TINY),
+                    np.zeros((80, 201), np.float32), [b"a", b"b"],
+                    quantize="q5_0")
+    got, hp, _, _ = ggml.read_ggml(path)
+    assert hp["qnt_version"] == ggml.GGML_QNT_VERSION
+    assert hp["ftype"] == 8  # GGML_FTYPE_MOSTLY_Q5_0
+    assert set(got) == set(tensors)
+    # the quantize skip list stays exact fp
+    np.testing.assert_array_equal(
+        got["decoder.positional_embedding"],
+        tensors["decoder.positional_embedding"].astype(np.float16))
+    np.testing.assert_array_equal(
+        got["encoder.conv1.bias"],
+        tensors["encoder.conv1.bias"].reshape(-1, 1).astype(np.float16))
+    # 2-D weights round-trip within a q5_0 step of the original
+    w = tensors["decoder.token_embedding.weight"]
+    g = got["decoder.token_embedding.weight"]
+    step = np.abs(w).reshape(-1, 32).max(axis=1) / 16
+    assert np.max(np.abs((g - w).reshape(-1, 32)) / step[:, None]) <= 1.02
+    # and the checkpoint still loads + runs through the real model path
+    params, cfg, _ = ggml.load_ggml(path)
+    import jax.numpy as jnp
+
+    xa = wm.encode(params, jnp.zeros((1, 80, 3000), jnp.float32), cfg)
+    assert xa.shape == (1, 1500, 64)
+
+
+def test_ggml_q8_0_near_lossless(tmp_path):
+    tensors = _openai_tensors(TINY, seed=5)
+    path = tmp_path / "ggml-tiny-q8_0.bin"
+    ggml.write_ggml(path, tensors, _hparams(TINY),
+                    np.zeros((80, 201), np.float32), [b"a"],
+                    quantize="q8_0")
+    got, hp, _, _ = ggml.read_ggml(path)
+    assert hp["ftype"] == 7  # GGML_FTYPE_MOSTLY_Q8_0
+    w = tensors["encoder.blocks.0.mlp.0.weight"]
+    np.testing.assert_allclose(
+        got["encoder.blocks.0.mlp.0.weight"], w, atol=float(
+            np.abs(w).max() / 127))
+
+
+def test_ggml_unsupported_tensor_type(tmp_path):
+    """K-quant (and any other unknown) tensor types fail loudly, naming the
+    type and the supported set — never silently skipping weights."""
+    import struct
+
+    tensors = {"decoder.ln.weight": np.ones(64, np.float32)}
+    path = tmp_path / "bad.bin"
+    ggml.write_ggml(path, tensors, _hparams(TINY),
+                    np.zeros((80, 201), np.float32), [b"a"], use_f16=False)
+    blob = bytearray(path.read_bytes())
+    # tensor header starts right after vocab: locate by the known layout
+    off = len(blob) - (12 + 4 + len(b"decoder.ln.weight") + 64 * 4)
+    n_dims, name_len, ttype = struct.unpack_from("<3i", blob, off)
+    assert (n_dims, name_len, ttype) == (1, len(b"decoder.ln.weight"), 0)
+    struct.pack_into("<i", blob, off + 8, 12)  # GGML_TYPE_Q4_K
+    path.write_bytes(bytes(blob))
+    with pytest.raises(ggml.GGMLFormatError, match="type 12"):
+        ggml.read_ggml(path)
+
+
 def test_engine_accepts_ggml_file(ggml_file, tmp_path):
     """End-to-end: EngineConfig.whisper_model_path pointing at a ggml FILE
     transcribes (random weights) with the embedded-vocab tokenizer."""
