@@ -44,6 +44,21 @@ def test_alignment_heads_fallback_to_small():
     assert heads and all(l < 6 and h < 8 for l, h in heads)
 
 
+def test_alignment_heads_strip_quant_suffix():
+    """Quantized model names (as shipped on ggerganov/whisper.cpp) resolve
+    their base model's alignment heads — a deliberate improvement over the
+    reference's silent fallback to Small (`transcribe.rs:128`)."""
+    cfg = wm.PRESETS["large-v3-turbo"]
+    for name in ("large-v3-turbo-q5_0", "large-v3-turbo-q8_0",
+                 "large-v3-turbo-q5_1", "large-v3-turbo-q4_0"):
+        assert wm.alignment_heads_for(name, cfg) == \
+            wm.alignment_heads_for("large-v3-turbo", cfg)
+    # unknown bases still fall back to small; exact names keep priority
+    base = wm.PRESETS["base"]
+    assert wm.alignment_heads_for("nope-q5_0", base) == \
+        wm.alignment_heads_for("not-a-model", base)
+
+
 def test_encode_shape(xa):
     assert xa.shape == (2, 1500, 64)
     assert np.isfinite(np.asarray(xa)).all()

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import re
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -118,8 +119,16 @@ ALIGNMENT_HEADS: Dict[str, List[Tuple[int, int]]] = {
 def alignment_heads_for(model_name: str, cfg: WhisperConfig) -> List[Tuple[int, int]]:
     """Alignment-head preset with the reference's fallback-to-Small behavior
     (`transcribe.rs:128`: unknown model names default to the Small preset) —
-    clamped to the actual layer/head counts."""
-    heads = ALIGNMENT_HEADS.get(model_name, ALIGNMENT_HEADS["small"])
+    clamped to the actual layer/head counts.
+
+    Deliberate improvement over the reference: a quantization suffix
+    (`large-v3-turbo-q5_0`, as the files on ggerganov/whisper.cpp are named)
+    is stripped before the lookup — the reference would silently use the
+    Small preset's heads for every quantized model, degrading DTW word
+    timestamps for no reason."""
+    base = re.sub(r"-q\d+_(?:\d+|k(?:_[sml])?)$", "", model_name)
+    heads = ALIGNMENT_HEADS.get(model_name, ALIGNMENT_HEADS.get(
+        base, ALIGNMENT_HEADS["small"]))
     return [
         (l, h) for (l, h) in heads
         if l < cfg.n_text_layer and h < cfg.n_text_head
