@@ -173,6 +173,61 @@ def test_beam_decode_tail_parity():
     np.testing.assert_array_equal(np.asarray(r0.tokens), np.asarray(r1.tokens))
 
 
+def test_fused_tail_multi_tile_geometry(monkeypatch):
+    """Force TW < D so the weight stream runs MULTIPLE tiles per matrix —
+    the large-v3 production geometry (D=1280, TW=640 -> n_d=2, n4=8) in
+    miniature (D=256, TW=128 -> n_d=2, n4=8): exercises the tile-index
+    arithmetic, the fc1-bias row straddle, and the 3-slot round-robin with
+    more tiles than slots."""
+    monkeypatch.setattr(pallas_tail, "_pick_tw", lambda D: 128)
+    cfg = wm.WhisperConfig(
+        n_mels=8, n_vocab=64, n_audio_ctx=32, n_audio_state=256,
+        n_audio_head=4, n_audio_layer=1, n_text_ctx=64, n_text_state=256,
+        n_text_head=4, n_text_layer=2,
+    )
+    B, beams, Ta, t_tile = 2, 1, 32, 16
+    params, x, so, k5, v5 = _mk(cfg, B, beams, Ta, t_tile, seed=11)
+    pack = pallas_tail.pack_tail_weights(params, cfg)
+    assert pack["w"].shape[1] == 3 * 2 + 2 * 8  # n_d=2, n4=8
+    for layer in range(cfg.n_text_layer):
+        ref = _reference_tail(params, cfg, x, so, k5, v5, beams, layer)
+        got = pallas_tail.fused_tail_layer(
+            jnp.int32(layer), x, so, pack["w"], pack["b"], k5, v5,
+            beams=beams, ta_total=Ta, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # front kernel under the same multi-tile geometry
+    Tc, H, Dh = 16, cfg.n_text_head, cfg.head_dim
+    rng = np.random.default_rng(12)
+    kc = jnp.asarray(
+        rng.standard_normal((cfg.n_text_layer, B, H, Tc, Dh)), jnp.float32)
+    vc = jnp.asarray(
+        rng.standard_normal((cfg.n_text_layer, B, H, Tc, Dh)), jnp.float32)
+    fpack = pallas_tail.pack_front_weights(params, cfg)
+    assert fpack["w"].shape[1] == 3 * 2
+    pos, row_pad = 5, jnp.asarray([1, 0], jnp.int32)
+    kpos = jnp.arange(Tc)[None, None, :]
+    valid = (kpos <= pos) & ((kpos >= row_pad[:, None, None]) | (kpos == pos))
+    mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
+    xf = jnp.asarray(rng.standard_normal((B, 1, 256)), jnp.float32)
+    for layer in range(cfg.n_text_layer):
+        blk = jax.tree.map(lambda a: a[layer], params["decoder"]["blocks"])
+        q, k_new, v_new = wm._decoder_qkv(xf, blk, H)
+        kc_w = kc.at[layer, :, :, pos].set(k_new[:, :, 0])
+        vc_w = vc.at[layer, :, :, pos].set(v_new[:, :, 0])
+        ref = wm._attn(q, kc_w[layer], vc_w[layer], mask)
+        so_g, kn, vn = pallas_tail.fused_front_layer(
+            jnp.int32(layer), jnp.int32(pos), row_pad, xf,
+            fpack["w"], fpack["b"], kc, vc, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(kn), np.asarray(k_new), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(vn), np.asarray(v_new), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(so_g), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_pack_tail_weights_tile_layout():
     cfg = wm.WhisperConfig(
         n_mels=8, n_vocab=64, n_audio_ctx=32, n_audio_state=32,
