@@ -20,6 +20,7 @@ Env: WDT_BENCH_ROWS="1,3" limits to a subset (1-based row ids above).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -69,10 +70,15 @@ def bench_config(model: str, *, beam: int = 1, diarize: bool = False,
     )
     if dec._resolve_pallas_tail(dc):
         # fused decoder megakernels need their weight packs in the params
-        # pytree (same attach TranscribeStep does on model load)
+        # pytree (same attach TranscribeStep does on model load); the probe
+        # degrades a Mosaic lowering failure to the un-fused path instead
+        # of killing the bench row
         from whisper_diarize_tpu.ops.pallas_tail import (
-            pack_front_weights, pack_tail_weights)
+            megakernels_supported, pack_front_weights, pack_tail_weights)
 
+        if not megakernels_supported():
+            dc = dataclasses.replace(dc, pallas_tail=False)
+    if dec._resolve_pallas_tail(dc):
         params = {
             **params,
             "decoder": {

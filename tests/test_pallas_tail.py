@@ -228,6 +228,17 @@ def test_fused_tail_multi_tile_geometry(monkeypatch):
             np.asarray(so_g), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_megakernels_supported_probe():
+    """The production-geometry probe runs (interpret mode on CPU) and caches
+    its verdict; the default-on attach sites gate on it."""
+    pallas_tail._PROBE_OK = None
+    try:
+        assert pallas_tail.megakernels_supported() is True
+        assert pallas_tail._PROBE_OK is True  # cached
+    finally:
+        pallas_tail._PROBE_OK = None
+
+
 def test_pack_tail_weights_tile_layout():
     cfg = wm.WhisperConfig(
         n_mels=8, n_vocab=64, n_audio_ctx=32, n_audio_state=32,

@@ -42,14 +42,72 @@ fall back to the un-fused path (`models/whisper.py` gates on mesh is None).
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+logger = logging.getLogger(__name__)
+
 N_SLOTS = 3  # manual-DMA pipeline depth for the weight-tile stream
 SMALL_ROWS = 8  # ln2_s, ln2_b, ln3_s, ln3_b, o_b, cq_b, co_b, fc2_b
+
+_PROBE_OK: bool | None = None
+
+
+def megakernels_supported() -> bool:
+    """One-time probe: compile + run both megakernels at the production
+    geometry (D=1280/TW=640, H=20, Dh=64, TT=512; tiny batch and L=1).
+
+    The kernels were developed against the interpret-mode backend, and
+    Mosaic lowering can fail where interpret succeeds (unsupported
+    relayouts, VMEM overflow). Callers that engage the kernels BY DEFAULT
+    (`TranscribeStep`, `bench.py`) gate on this so a lowering failure
+    degrades to the un-fused Pallas-cross path with a warning instead of
+    killing the run; the benchmark tools bypass it to keep failures loud."""
+    global _PROBE_OK
+    if _PROBE_OK is None:
+        try:
+            _probe()
+            _PROBE_OK = True
+        except Exception as e:  # noqa: BLE001 — any lowering/runtime error
+            logger.warning(
+                "decoder megakernels disabled (probe failed: %s); decode "
+                "falls back to the un-fused Pallas cross-attention path", e)
+            _PROBE_OK = False
+    return _PROBE_OK
+
+
+def _probe() -> None:
+    import numpy as np
+
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    D, TW, H, Dh, TT = 1280, 640, 20, 64, 512
+    B, NT, Tc = 2, 2, 32
+    n_d, n4 = D // TW, 4 * D // TW
+    rng = np.random.default_rng(0)
+
+    def arr(*shape, scale=0.05):
+        return jnp.asarray(
+            rng.standard_normal(shape).astype(np.float32) * scale, dtype)
+
+    x = arr(B, 1, D)
+    so = arr(B, H, 1, Dh)
+    k5, v5 = arr(1, B, NT, H, Dh, TT), arr(1, B, NT, H, Dh, TT)
+    out = fused_tail_layer(
+        jnp.int32(0), x, so, arr(1, 3 * n_d + 2 * n4, D, TW),
+        arr(1, SMALL_ROWS + 4, D), k5, v5, beams=1,
+        ta_total=NT * TT - 100, interpret=None)
+    kc, vc = arr(1, B, H, Tc, Dh), arr(1, B, H, Tc, Dh)
+    so2, kn, vn = fused_front_layer(
+        jnp.int32(0), jnp.int32(5), jnp.zeros((B,), jnp.int32), x,
+        arr(1, 3 * n_d, D, TW), arr(1, 4, D), kc, vc, interpret=None)
+    # force execution (the tunnel defers async errors to the fetch)
+    for t in (out, so2, kn, vn):
+        if not np.isfinite(np.asarray(t[0]).ravel()[:4]).all():
+            raise FloatingPointError("megakernel probe produced non-finites")
 
 
 def _pick_tw(D: int) -> int:

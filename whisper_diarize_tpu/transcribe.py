@@ -162,17 +162,22 @@ class TranscribeStep:
             # weights once per model load (`ops/pallas_tail.py`); the pack
             # rides inside the params pytree so the jitted decode loops
             # need no extra plumbing, and decode_step engages the kernel
-            # only on single-token steps over the bf16 tiled cross cache
-            from .ops.pallas_tail import pack_front_weights, pack_tail_weights
+            # only on single-token steps over the bf16 tiled cross cache.
+            # A one-time probe compiles the kernels at production geometry
+            # first — a Mosaic lowering failure falls back to the un-fused
+            # path with a warning instead of killing the transcription.
+            from .ops.pallas_tail import (
+                megakernels_supported, pack_front_weights, pack_tail_weights)
 
-            self.params = {
-                **self.params,
-                "decoder": {
-                    **self.params["decoder"],
-                    "tail": pack_tail_weights(self.params, cfg),
-                    "front": pack_front_weights(self.params, cfg),
-                },
-            }
+            if megakernels_supported():
+                self.params = {
+                    **self.params,
+                    "decoder": {
+                        **self.params["decoder"],
+                        "tail": pack_tail_weights(self.params, cfg),
+                        "front": pack_front_weights(self.params, cfg),
+                    },
+                }
         self._encode = jax.jit(lambda p, m: wm.encode(p, m, cfg))
         self._align = jax.jit(
             lambda p, t, xa: wm.alignment_cross_attn(p, cfg, t, xa, self.heads)
