@@ -659,11 +659,14 @@ def decode_step(
     row_pad: Optional[jnp.ndarray] = None,  # [N] int32 left-pad per row
     unroll: bool = False,
     mesh=None,  # jax.sharding.Mesh: shard_map the Pallas cross-attention
+    logits_at: Optional[Tuple[int, ...]] = None,  # STATIC positions to project
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Run S tokens through the decoder against a fixed-size KV cache.
 
     Used both for the prompt prefill (S = prompt length) and the sampling
-    loop (S = 1). Returns (logits [N, S, V] f32, updated self_cache).
+    loop (S = 1). Returns (logits [N, S, V] f32, updated self_cache);
+    with `logits_at` (static position tuple) only those positions are
+    projected to the vocabulary — logits come back [N, len(logits_at), V].
 
     `beams > 1` marks the batch as beam-folded [B*beams]: the cross cache
     then has only B rows and is SHARED across each stream's beams — the
@@ -800,6 +803,12 @@ def decode_step(
             layer, (x,), (blocks, cross_k, cross_v, jnp.arange(L))
         )
         new_cache = {"k": k_caches, "v": v_caches}
+    if logits_at is not None:
+        # the prompt prefill only reads a couple of positions (sot +
+        # last): slicing BEFORE the vocab projection skips an [N, S, V]
+        # f32 buffer and its matmul (~760 MB + ~480 GFLOP at B=16, S=228
+        # rolling prompts on large-v3). Static positions, static slices.
+        x = jnp.concatenate([x[:, p:p + 1] for p in logits_at], axis=1)
     x = _ln(x, dec["ln_s"], dec["ln_b"])
     logits = jnp.einsum(
         "bsd,vd->bsv", x, dec["tok_emb"], preferred_element_type=jnp.float32

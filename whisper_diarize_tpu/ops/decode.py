@@ -302,15 +302,18 @@ def greedy_init(
     cache_len = min(cfg.n_text_ctx, -(-(prompt_len + max_steps + 1) // 16) * 16)
     cache = wm.init_self_cache(cfg, B, xa.dtype, cache_len)
 
-    # prefill the prompt
+    # prefill the prompt; only the sot + last positions are projected to
+    # the vocabulary (logits_at skips the [B, P, V] buffer at long prompts)
+    P = prompt.shape[1]
+    pos_at = (sot_pos,) if sot_pos == P - 1 else (sot_pos, P - 1)
     logits_all, cache = wm.decode_step(
         params, cfg, prompt, jnp.int32(0), cache, cross_cache,
-        row_pad=row_pad, mesh=dc.mesh,
+        row_pad=row_pad, mesh=dc.mesh, logits_at=pos_at,
     )
     first_logits = logits_all[:, -1]  # [B, V]
     # no-speech prob is read from the logits produced right after consuming
     # <|startoftranscript|>
-    sot_logits = logits_all[:, sot_pos]
+    sot_logits = logits_all[:, 0]
     no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, sp.no_speech]
 
     return dict(
@@ -585,14 +588,16 @@ def beam_init(
     # on large-v3 b16, the dominant beam overhead)
     prompt_cache = wm.init_self_cache(cfg, B, xa.dtype, prompt_len)
     row_pad_n = rep(row_pad)
+    P = prompt.shape[1]
+    pos_at = (sot_pos,) if sot_pos == P - 1 else (sot_pos, P - 1)
     logits_all, prompt_cache = wm.decode_step(
         params, cfg, prompt, jnp.int32(0), prompt_cache, cross_cache,
-        row_pad=row_pad, mesh=dc.mesh,
+        row_pad=row_pad, mesh=dc.mesh, logits_at=pos_at,
     )
     td = min(cfg.n_text_ctx, -(-max_steps // 16) * 16)
     decode_cache = wm.init_split_decode_cache(cfg, N, xa.dtype, td)
     first_logits = rep(logits_all[:, -1])
-    sot_logits = logits_all[:, sot_pos]
+    sot_logits = logits_all[:, 0]
     no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, sp.no_speech]
 
     return dict(
