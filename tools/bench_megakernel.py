@@ -43,8 +43,9 @@ def worker(model: str, batch: int, variant: str, mode: str) -> None:
     tk = DebugTokenizer(num_languages=cfg.num_languages)
     sp = tk.specials
     beam = 5 if mode == "beam" else None
+    max_tok = 8 if os.environ.get("WDT_MEGAKERNEL_SMOKE") == "1" else 64
     dc = dec.DecodeConfig(
-        max_tokens=64, with_timestamps=True, beam_size=beam,
+        max_tokens=max_tok, with_timestamps=True, beam_size=beam,
         pallas_cross=True, pallas_tail=variant != "off",
     )
     if variant != "off":
@@ -97,12 +98,16 @@ def worker(model: str, batch: int, variant: str, mode: str) -> None:
                 params, cfg, dc, sp, st, suppress, P, jnp.int32(budget)
             )["tokens"][0, :2]
 
-    t32 = best_of(lambda: run(32))
-    t64 = best_of(lambda: run(64))
+    # WDT_MEGAKERNEL_SMOKE=1: tiny budgets/reps so the CPU interpret-mode
+    # plumbing check finishes (numbers are meaningless off-TPU)
+    smoke = os.environ.get("WDT_MEGAKERNEL_SMOKE") == "1"
+    b_lo, b_hi, reps = (4, 8, 1) if smoke else (32, 64, 5)
+    t_lo = best_of(lambda: run(b_lo), n=reps)
+    t_hi = best_of(lambda: run(b_hi), n=reps)
     print(json.dumps({
         "variant": variant, "mode": mode,
-        "ms_per_step": (t64 - t32) / 32 * 1e3,
-        "t64_ms": t64 * 1e3,
+        "ms_per_step": (t_hi - t_lo) / (b_hi - b_lo) * 1e3,
+        "t64_ms": t_hi * 1e3,
     }))
 
 

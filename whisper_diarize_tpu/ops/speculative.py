@@ -104,12 +104,19 @@ def speculative_init(
                -(-(prompt_len + max_steps + gamma + 2) // 16) * 16)
     cache_t = wm.init_self_cache(cfg_t, B, xa_t.dtype, tlen)
     cache_d = wm.init_self_cache(cfg_d, B, xa_d.dtype, tlen)
+    # only sot + last positions are read from the target prefill, and the
+    # draft prefill exists purely to fill its KV cache (logits_at skips
+    # the [B, P, V] projections at long prompts)
+    P = prompt.shape[1]
+    pos_at = (sot_pos,) if sot_pos == P - 1 else (sot_pos, P - 1)
     logits_t, cache_t = wm.decode_step(
-        params_t, cfg_t, prompt, jnp.int32(0), cache_t, cross_t)
-    logits_d, cache_d = wm.decode_step(
-        params_d, cfg_d, prompt, jnp.int32(0), cache_d, cross_d)
+        params_t, cfg_t, prompt, jnp.int32(0), cache_t, cross_t,
+        logits_at=pos_at)
+    _, cache_d = wm.decode_step(
+        params_d, cfg_d, prompt, jnp.int32(0), cache_d, cross_d,
+        logits_at=(P - 1,))
     no_speech_prob = jax.nn.softmax(
-        logits_t[:, sot_pos], axis=-1)[:, sp.no_speech]
+        logits_t[:, 0], axis=-1)[:, sp.no_speech]
 
     # the first emitted token comes straight from the target's prefill
     g0 = dict(
