@@ -78,6 +78,42 @@ def test_onnx_io_roundtrip(tmp_path):
     assert m.nodes[1].attrs["hidden_size"] == 16
 
 
+def test_onnx_io_refuses_external_and_missing_payloads(tmp_path):
+    """External-data tensors and payload-free tensors must raise, never
+    fabricate zero weights."""
+    from whisper_diarize_tpu.models import onnx_io
+    from whisper_diarize_tpu.models.onnx_io import (
+        OnnxFormatError, _enc_tensor, _field, _varint)
+
+    # tensor with data_location=EXTERNAL (field 14 = 1), payload stripped
+    t = b""
+    t += _field(1, 0, _varint(4))           # dims = [4]
+    t += _field(2, 0, _varint(1))           # FLOAT
+    t += _field(8, 2, b"w_ext")             # name
+    t += _field(14, 0, _varint(1))          # data_location = EXTERNAL
+    graph = _field(5, 2, t)
+    (tmp_path / "ext.onnx").write_bytes(_field(7, 2, graph))
+    with pytest.raises(OnnxFormatError, match="external data"):
+        read_onnx(tmp_path / "ext.onnx")
+
+    # tensor with a shape but neither raw_data nor typed payload
+    t2 = b""
+    t2 += _field(1, 0, _varint(3))
+    t2 += _field(2, 0, _varint(1))
+    t2 += _field(8, 2, b"w_empty")
+    (tmp_path / "empty.onnx").write_bytes(
+        _field(7, 2, _field(5, 2, t2)))
+    with pytest.raises(OnnxFormatError, match="no payload"):
+        read_onnx(tmp_path / "empty.onnx")
+
+    # zero-element tensors are legitimate (empty optional inputs)
+    t3 = _enc_tensor("w0", np.zeros((0,), np.float32))
+    (tmp_path / "zero.onnx").write_bytes(
+        _field(7, 2, _field(5, 2, t3)))
+    m = read_onnx(tmp_path / "zero.onnx")
+    assert m.initializers["w0"].size == 0
+
+
 # ---------------------------------------------------------------------------
 # pyannote segmentation ONNX
 # ---------------------------------------------------------------------------

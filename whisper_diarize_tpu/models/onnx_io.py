@@ -148,6 +148,7 @@ def _parse_tensor(buf) -> Tuple[str, np.ndarray]:
     data_type = 1
     name = ""
     raw = None
+    data_location = 0
     typed: List[Tuple[str, Any]] = []
     for fnum, wtype, val in _iter_fields(bytes(buf)):
         if fnum == 1:  # dims
@@ -161,6 +162,8 @@ def _parse_tensor(buf) -> Tuple[str, np.ndarray]:
             name = bytes(val).decode("utf-8")
         elif fnum == 9:
             raw = bytes(val)
+        elif fnum == 14 and wtype == 0:  # data_location
+            data_location = val
         elif fnum == 4:  # float_data
             typed.append(("<f4", val if wtype == 2 else bytes(val)))
         elif fnum == 5:  # int32_data
@@ -172,6 +175,10 @@ def _parse_tensor(buf) -> Tuple[str, np.ndarray]:
     dtype = _DTYPES.get(data_type)
     if dtype is None:
         raise OnnxFormatError(f"tensor {name!r}: unsupported data_type {data_type}")
+    if data_location == 1:  # EXTERNAL: payload lives in a sidecar file
+        raise OnnxFormatError(
+            f"tensor {name!r} uses external data storage; pass the model "
+            "through `onnx.save(..., save_as_external_data=False)` first")
     shape = tuple(int(d) for d in dims)
     count = int(np.prod(shape)) if shape else 1
     if raw is not None:
@@ -185,8 +192,12 @@ def _parse_tensor(buf) -> Tuple[str, np.ndarray]:
                 vals = _packed_varints(val)
                 parts.append(np.asarray(vals, dtype.base))
         arr = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    elif count == 0:
+        arr = np.zeros((0,), dtype)
     else:
-        arr = np.zeros((count,), dtype)
+        # no raw_data and no typed payload: refuse to fabricate zeros
+        raise OnnxFormatError(
+            f"tensor {name!r}: no payload for {count} elements")
     if arr.size != count:
         raise OnnxFormatError(
             f"tensor {name!r}: payload {arr.size} elements, shape {shape}"
