@@ -188,6 +188,65 @@ def test_quant_blocks_exact_on_grid(name):
     np.testing.assert_array_equal(got, x)
 
 
+def _fp16_bytes(v):
+    return np.float16(v).tobytes()
+
+
+def test_dequant_pins_external_byte_layout():
+    """Hand-constructed raw blocks against the documented ggml layout
+    (dequantize_row_* in ggml-quants.c). A self-consistent-but-swapped
+    nibble/high-bit layout would pass the round-trip tests yet misread
+    real whisper.cpp files — this pins the actual bytes."""
+    # q4_0: [fp16 d][16 bytes]; byte j: low nibble -> elem j, high -> j+16
+    raw = _fp16_bytes(0.5) + bytes([0xF1]) + bytes(15)
+    got = ggml.dequantize_blocks(
+        np.frombuffer(raw, np.uint8), ggml.GGML_TYPE_Q4_0, 32)
+    want = np.full(32, -4.0, np.float32)
+    want[0] = (0x1 - 8) * 0.5   # -3.5
+    want[16] = (0xF - 8) * 0.5  # 3.5
+    np.testing.assert_array_equal(got, want)
+
+    # q4_1: [fp16 d][fp16 m][16 bytes]; x = d*q + m (unsigned q)
+    raw = _fp16_bytes(0.5) + _fp16_bytes(-2.0) + bytes([0xF1]) + bytes(15)
+    got = ggml.dequantize_blocks(
+        np.frombuffer(raw, np.uint8), ggml.GGML_TYPE_Q4_1, 32)
+    want = np.full(32, -2.0, np.float32)
+    want[0] = 1 * 0.5 - 2.0     # -1.5
+    want[16] = 15 * 0.5 - 2.0   # 5.5
+    np.testing.assert_array_equal(got, want)
+
+    # q5_0: [fp16 d][u32 qh][16 bytes]; qh bit j -> 5th bit of elem j,
+    # bit j+16 -> 5th bit of elem j+16; x = (q - 16) * d
+    qh = (1 << 0) | (1 << 16)
+    raw = (_fp16_bytes(0.5) + np.uint32(qh).tobytes()
+           + bytes([0x01]) + bytes(15))
+    got = ggml.dequantize_blocks(
+        np.frombuffer(raw, np.uint8), ggml.GGML_TYPE_Q5_0, 32)
+    want = np.full(32, -8.0, np.float32)
+    want[0] = ((0x1 | 0x10) - 16) * 0.5   # q=17 -> 0.5
+    want[16] = ((0x0 | 0x10) - 16) * 0.5  # q=16 -> 0.0
+    np.testing.assert_array_equal(got, want)
+
+    # q5_1: [fp16 d][fp16 m][u32 qh][16 bytes]; x = d*q + m
+    raw = (_fp16_bytes(0.5) + _fp16_bytes(-2.0) + np.uint32(qh).tobytes()
+           + bytes([0x01]) + bytes(15))
+    got = ggml.dequantize_blocks(
+        np.frombuffer(raw, np.uint8), ggml.GGML_TYPE_Q5_1, 32)
+    want = np.full(32, -2.0, np.float32)
+    want[0] = 17 * 0.5 - 2.0   # 6.5
+    want[16] = 16 * 0.5 - 2.0  # 6.0
+    np.testing.assert_array_equal(got, want)
+
+    # q8_0: [fp16 d][32 x int8]; x = d * q
+    qs = np.zeros(32, np.int8)
+    qs[0], qs[31] = -100, 127
+    raw = _fp16_bytes(0.25) + qs.tobytes()
+    got = ggml.dequantize_blocks(
+        np.frombuffer(raw, np.uint8), ggml.GGML_TYPE_Q8_0, 32)
+    want = qs.astype(np.float32) * 0.25
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("name", sorted(QTYPES))
 def test_quant_blocks_error_bound(name):
     """Random data round-trips within one quantization step per block."""
