@@ -117,8 +117,10 @@ def main() -> None:
     @jax.jit
     def prompt_fwd(p, cross):
         cache = wm.init_self_cache(cfg, B, xa.dtype, cache_len)
+        # mirror greedy_init: only sot + last positions projected
         logits_all, cache = wm.decode_step(
-            p, cfg, prompt, jnp.int32(0), cache, cross)
+            p, cfg, prompt, jnp.int32(0), cache, cross,
+            logits_at=(0, P - 1) if P > 1 else (0,))
         return logits_all[:, -1, :1]
 
     t_pf = best_of(lambda: prompt_fwd(params, cross_probe))
