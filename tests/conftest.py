@@ -24,6 +24,20 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    A full `-m ''` run compiles hundreds of XLA:CPU programs into one
+    process; past ~215 tests the LLVM JIT segfaulted inside
+    backend_compile_and_load (reproducible at test_speculative.py::
+    test_sim_accept_round_structure, which passes standalone). Dropping the
+    executable caches per module keeps within-module reuse but bounds the
+    accumulated JIT state."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
