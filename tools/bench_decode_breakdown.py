@@ -83,7 +83,24 @@ def main() -> None:
     mel_fn = jax.jit(lambda a: log_mel_spectrogram(a, n_mels=cfg.n_mels))
     mel = mel_fn(audio)
     t_mel = best_of(lambda: mel_fn(audio)[0, 0, :1])
-    print(f"mel          {t_mel*1e3:8.1f} ms")
+    print(f"mel          {t_mel*1e3:8.1f} ms  (single dispatch: includes "
+          "~25 ms tunnel RTT)")
+
+    # TRUE device time via the slope method: fori_loop of n dependent mel
+    # passes inside ONE dispatch (ledger timing rule — single dispatches
+    # only measure launch overhead)
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def mel_loop(a, n):
+        def body(_, carry):
+            m = log_mel_spectrogram(carry, n_mels=cfg.n_mels)
+            # feed a data-dependent scalar back so iterations can't fuse
+            return carry + m[0, 0, 0] * 1e-12
+
+        return jax.lax.fori_loop(0, n, body, a)[0, :1]
+
+    m8 = best_of(lambda: mel_loop(audio, 8))
+    m16 = best_of(lambda: mel_loop(audio, 16))
+    print(f"  mel slope  {(m16-m8)/8*1e3:8.1f} ms/pass (8->16 rep slope)")
 
     enc_fn = jax.jit(lambda p, m: wm.encode(p, m.astype(dtype), cfg))
     xa = enc_fn(params, mel)
