@@ -46,6 +46,23 @@ from jax.experimental.pallas import tpu as pltpu
 T_TILE = 512  # lane-aligned Ta tile; 1500 -> 3 tiles (tail masked)
 
 
+def _shard_map():
+    """`jax.shard_map` moved to the public namespace in v0.8 (and renamed
+    `check_rep` to `check_vma`); return a `check_rep=`-style callable for
+    whichever this JAX has, without tripping the deprecation warning."""
+    try:
+        from jax import shard_map as sm  # jax >= 0.8
+
+        def wrap(f, *, mesh, in_specs, out_specs, check_rep=True):
+            return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      check_vma=check_rep)
+
+        return wrap
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as sm
+        return sm
+
+
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -112,7 +129,7 @@ def _shard_mapped(impl, mesh, n_kv_operands: int, B: int, H: int):
     per-row and per-head, so the kernel needs NO cross-chip traffic — each
     chip streams its own cache shard (VERDICT r2 Missing #3: this is what
     lets the mesh path keep the kernel instead of falling back to XLA)."""
-    from jax.experimental.shard_map import shard_map
+    shard_map = _shard_map()
     from jax.sharding import PartitionSpec as P
 
     data, model = _mesh_axes(mesh, B, H)
@@ -503,7 +520,7 @@ def split_self_attn_layer(
     s_arr = jnp.asarray(step, jnp.int32).reshape(1)
     rp = jnp.asarray(row_pad, jnp.int32)
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        shard_map = _shard_map()
         from jax.sharding import PartitionSpec as P
 
         B, _, H, _ = q.shape
@@ -590,7 +607,7 @@ def cross_kv_tiled_pallas(
     impl = functools.partial(
         _cross_build_impl, head_dim=head_dim, interpret=interpret)
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        shard_map = _shard_map()
         from jax.sharding import PartitionSpec as P
 
         data, model = _mesh_axes(mesh, xp.shape[0], n_heads)
