@@ -50,13 +50,26 @@ def make_engine(args):
         batch_size=getattr(args, "batch", 8),
         max_decode_tokens=getattr(args, "max_tokens", 224),
     )
+    # Frontend-net weights: real artifacts by default (the engine downloads
+    # and converts them, failing LOUDLY if they can't be loaded — never
+    # silent noise). Only an explicitly offline run (--model-dir fixture or
+    # WDT_OFFLINE=1) falls back to random weights, and says so.
+    offline = args.model_dir is not None or os.environ.get("WDT_OFFLINE") == "1"
+    rand_default = "__random__" if offline else None
+    if offline:
+        print(
+            "[examples] offline run: VAD/diarization nets use RANDOM weights "
+            "unless WDT_VAD_MODEL / WDT_SEG_MODEL / WDT_EMB_MODEL are set — "
+            "segmentation quality will be noise",
+            file=sys.stderr,
+        )
     if args.diarize:
-        # offline-friendly: random diarization weights unless real ones given
-        cfg.diarize_segment_model_path = os.environ.get("WDT_SEG_MODEL", "__random__")
-        cfg.diarize_embedding_model_path = os.environ.get("WDT_EMB_MODEL", "__random__")
-    # offline-friendly: random VAD weights unless real ones given (set
-    # WDT_VAD_MODEL to a converted .npz or the reference's silero GGML)
-    cfg.vad_model_path = os.environ.get("WDT_VAD_MODEL", "__random__")
+        cfg.diarize_segment_model_path = os.environ.get(
+            "WDT_SEG_MODEL", rand_default)
+        cfg.diarize_embedding_model_path = os.environ.get(
+            "WDT_EMB_MODEL", rand_default)
+    # set WDT_VAD_MODEL to a converted .npz or the reference's silero GGML
+    cfg.vad_model_path = os.environ.get("WDT_VAD_MODEL", rand_default)
     return Engine(cfg)
 
 

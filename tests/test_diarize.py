@@ -187,3 +187,39 @@ def test_segmentation_forward_batch_consistency():
     p1 = np.asarray(segmentation.forward(params, w1))
     p2 = np.asarray(segmentation.forward(params, w2))
     np.testing.assert_allclose(full, np.concatenate([p1, p2]), atol=2e-4)
+
+
+def test_get_segments_batch_window_bound(monkeypatch):
+    """With MAX_WINDOWS_PER_BATCH forcing several chunked dispatches (and
+    power-of-two bucket padding), results must match the unbounded pass."""
+    from whisper_diarize_tpu import diarize as dz
+
+    def fake_forward(params, windows):
+        windows = np.asarray(windows)
+        nf = segmentation.n_out_frames(windows.shape[1])
+        fs = segmentation.FRAME_STEP_SAMPLES
+        out = np.full((windows.shape[0], nf, 7), -10.0, np.float32)
+        for w in range(windows.shape[0]):
+            for f in range(nf):
+                frame = windows[w, f * fs: (f + 1) * fs]
+                loud = np.abs(frame).mean() > 0.05
+                out[w, f, 1 if loud else 0] = 0.0
+        return out
+
+    monkeypatch.setattr(dz.segmentation, "forward", fake_forward)
+    params = segmentation.init_params(0)
+    rng = np.random.default_rng(11)
+    W = segmentation.WINDOW_SAMPLES
+    streams = [
+        (rng.standard_normal(n) * 8000).astype(np.int16)
+        for n in (3 * W + 1000, W // 2, 2 * W)
+    ]
+    unbounded = dz.get_segments_batch(streams, 16000, params)
+    monkeypatch.setattr(dz, "MAX_WINDOWS_PER_BATCH", 2)
+    chunked = dz.get_segments_batch(streams, 16000, params)
+    assert len(chunked) == len(unbounded)
+    assert any(len(r) > 0 for r in unbounded)
+    for ref, out in zip(unbounded, chunked):
+        assert [(s.start, s.end) for s in out] == [
+            (s.start, s.end) for s in ref
+        ]

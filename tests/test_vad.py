@@ -151,3 +151,26 @@ def test_get_segments_batch_matches_serial():
         ]
         for a, b in zip(s_out, s_ref):
             np.testing.assert_array_equal(a.samples, b.samples)
+
+
+def test_get_segments_batch_grouping_bound(monkeypatch):
+    """With the device-batch bound forcing several sub-batches (and one
+    over-budget stream running alone), results must still match the
+    unbounded single-batch pass row for row."""
+    import whisper_diarize_tpu.vad as vad_mod
+    from whisper_diarize_tpu.models import silero_vad
+
+    params = silero_vad.init_params(0)
+    rng = np.random.default_rng(7)
+    streams = [
+        (rng.standard_normal(n) * 8000).astype(np.int16)
+        for n in (30000, 4000, 16000, 0, 8000)
+    ]
+    unbounded = vad_mod.get_segments_batch(params, streams)
+    monkeypatch.setattr(vad_mod, "MAX_BATCH_SAMPLES", 20000)
+    grouped = vad_mod.get_segments_batch(params, streams)
+    assert len(grouped) == len(unbounded)
+    for (m_ref, s_ref), (m_out, s_out) in zip(unbounded, grouped):
+        assert m_out == m_ref
+        for a, b in zip(s_out, s_ref):
+            np.testing.assert_array_equal(a.samples, b.samples)

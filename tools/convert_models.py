@@ -101,7 +101,13 @@ def convert_pyannote(src: str, dst: str) -> None:
                 sd = {k[len(prefix):]: v for k, v in sd.items()
                       if k.startswith(prefix)}
                 break
-        out, missing, _mapped = _cv.map_pyannote_state(sd)
+        out, missing, mapped = _cv.map_pyannote_state(sd)
+        unmapped = sorted(set(sd) - set(mapped))
+        if unmapped:
+            # upstream tensors we did NOT consume — drift diagnostic for
+            # newer pyannote releases (renamed/extra weights)
+            print(f"[pyannote] {len(unmapped)} unmapped tensors "
+                  f"(first 10): {unmapped[:10]}")
     for name in missing:
         print(f"[pyannote] missing: {name}")
     np.savez(dst, **out)

@@ -29,6 +29,7 @@ from .models import segmentation
 from .types import SpeechSegment
 
 SAMPLE_RATE = 16_000
+MAX_WINDOWS_PER_BATCH = 128  # 10 s windows per device dispatch (HBM bound)
 
 
 def get_segments(
@@ -82,8 +83,24 @@ def get_segments_batch(
         return [[] for _ in arrays]
 
     batch = np.concatenate(all_windows, axis=0)  # [sum NW, W]
-    log_probs = np.asarray(segmentation.forward(params, batch))
-    activity = segmentation.powerset_to_activity(log_probs)  # [sum NW, F, 3]
+    # Bound the per-dispatch window count: the SincNet stem's activations
+    # run ~3-4 MB per 10 s window, so an unbounded [sum NW, W] forward at
+    # config-5 scale (16 x 1 h ≈ 5760 windows) would need >15 GB of HBM.
+    # Chunks are padded up to power-of-two buckets (<= 8 compiles ever,
+    # <= 2x padded-row waste); windows are independent, results identical.
+    acts: List[np.ndarray] = []
+    for c0 in range(0, batch.shape[0], MAX_WINDOWS_PER_BATCH):
+        chunk = batch[c0:c0 + MAX_WINDOWS_PER_BATCH]
+        nw = chunk.shape[0]
+        bucket = 1
+        while bucket < nw:
+            bucket *= 2
+        if bucket > nw:
+            chunk = np.concatenate(
+                [chunk, np.zeros((bucket - nw, W), np.float32)], axis=0)
+        log_probs = np.asarray(segmentation.forward(params, chunk))
+        acts.append(segmentation.powerset_to_activity(log_probs)[:nw])
+    activity = np.concatenate(acts, axis=0)  # [sum NW, F, 3]
 
     return [
         _activity_to_segments(

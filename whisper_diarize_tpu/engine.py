@@ -771,21 +771,24 @@ class Engine:
             if fin is not None:
                 fin()
 
-        def make_finalize(decode_group, adv_steps, ns_flags, row_temps,
-                          anchors_async, res, xa, n_valid):
+        def make_finalize(decode_group, adv_steps, ns_flags,
+                          anchors_async, res, xa, n_valid, crs_a):
             def finalize() -> None:
                 nonlocal empty_segments, total_chars
                 anchors = (
                     anchors_async.result()
                     if anchors_async is not None else None
                 )
-                crs = step.build_chunk_results(
-                    res, xa, n_valid, translated,
-                    anchors_all=(
-                        anchors if anchors is not None
-                        else [None] * len(n_valid)
-                    ),
-                )
+                if anchors is None:
+                    # no DTW anchors to fold in: phase A's token pass already
+                    # produced the final per-chunk results — re-running
+                    # build_chunk_results would repeat the whole host token
+                    # pass for byte-identical output
+                    crs = crs_a
+                else:
+                    crs = step.build_chunk_results(
+                        res, xa, n_valid, translated, anchors_all=anchors,
+                    )
                 for j, w in enumerate(decode_group):
                     cr = crs[j]
                     si = w.stream_idx
@@ -1033,10 +1036,17 @@ class Engine:
                 # the previous batch's backtrack ran while this batch
                 # decoded — emit its segments now, then queue this batch
                 flush_pending()
-                pending[0] = make_finalize(
-                    decode_group, adv_steps, ns_flags, row_temps,
-                    anchors_async, res, xa, n_valid,
+                fin = make_finalize(
+                    decode_group, adv_steps, ns_flags,
+                    anchors_async, res, xa, n_valid, crs_a,
                 )
+                if anchors_async is None:
+                    # nothing to overlap (DTW off / translated): finalize
+                    # now — deferring would only delay segment emission by
+                    # one batch
+                    fin()
+                else:
+                    pending[0] = fin
             else:
                 flush_pending()
 

@@ -81,6 +81,10 @@ def _resolve(model: OnnxModel, producers: Dict[str, OnnxNode],
             ax = _resolve(model, producers, node.inputs[1], depth - 1)
             axes = list(np.asarray(ax).ravel()) if ax is not None else None
         if axes is None:
+            if node.op_type == "Squeeze":
+                # axes-less Squeeze removes EVERY size-1 dim (ONNX spec);
+                # an Unsqueeze without axes is invalid — treat as no-op
+                return np.squeeze(a)
             return a
         if node.op_type == "Unsqueeze":
             for ax in sorted(int(x) for x in axes):

@@ -406,7 +406,21 @@ def cross_kv_tiled(
         xp = jnp.pad(xa, ((0, 0), (0, pad), (0, 0)))
     xp = xp.reshape(B, nt, T_TILE, -1)
     if use_kernel is None:
-        use_kernel = jax.default_backend() == "tpu"
+        use_kernel = False
+        if jax.default_backend() == "tpu":
+            # compile-probe the kernel at this geometry first so a Mosaic
+            # failure degrades to the einsum below instead of aborting the
+            # prefill (megakernels_supported pattern); under a head-sharded
+            # mesh each chip runs the kernel on its local head slice
+            from ..ops.pallas_attn import _mesh_axes, cross_build_supported
+
+            h_local = H
+            if mesh is not None:
+                _, model_ax = _mesh_axes(mesh, B, H)
+                if model_ax is not None:
+                    h_local = H // dict(
+                        zip(mesh.axis_names, mesh.devices.shape))[model_ax]
+            use_kernel = cross_build_supported(xa.shape[-1], h_local, Dh)
     if use_kernel:
         from ..ops.pallas_attn import cross_kv_tiled_pallas
 

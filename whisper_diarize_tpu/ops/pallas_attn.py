@@ -622,6 +622,47 @@ def cross_kv_tiled_pallas(
     return impl(xp, kw, vw, vb)
 
 
+_CROSS_BUILD_OK: dict = {}
+
+
+def cross_build_supported(D: int, H: int, Dh: int) -> bool:
+    """One-time compile+run probe of the cross-KV build kernel at this
+    geometry (TT fixed at T_TILE; L/B/NT are grid-only dims, so 1 suffices).
+
+    The build kernel is auto-enabled on every TPU prefill
+    (`models/whisper.py::cross_kv_tiled` use_kernel=None), so an unprobed
+    geometry whose only 128-aligned head split overflows VMEM would abort
+    every transcription at compile time. Same pattern as
+    `pallas_tail.megakernels_supported`: degrade to the XLA einsum path
+    with a warning instead. Memoized per (D, H, Dh); under a mesh the
+    caller probes the PER-CHIP head count."""
+    import logging
+
+    key = (D, H, Dh)
+    ok = _CROSS_BUILD_OK.get(key)
+    if ok is None:
+        import numpy as np
+
+        try:
+            xp = jnp.zeros((1, 1, T_TILE, D), jnp.bfloat16)
+            w = jnp.zeros((1, D, H * Dh), jnp.bfloat16)
+            vb = jnp.zeros((1, H * Dh), jnp.bfloat16)
+            k5, _ = cross_kv_tiled_pallas(xp, w, w, vb, H, Dh,
+                                          interpret=False)
+            # force execution — the tunnel defers async errors to the fetch
+            if not np.isfinite(np.asarray(k5).ravel()[:2]).all():
+                raise FloatingPointError("cross-build probe non-finite")
+            ok = True
+        except Exception as e:  # noqa: BLE001 — any lowering/runtime error
+            logging.getLogger(__name__).warning(
+                "cross-KV build kernel disabled at D=%d H=%d Dh=%d (probe "
+                "failed: %s); prefill falls back to the XLA einsum path",
+                D, H, Dh, e)
+            ok = False
+        _CROSS_BUILD_OK[key] = ok
+    return ok
+
+
 def _cross_build_impl(xp, kw, vw, vb, *, head_dim: int, interpret: bool):
     B, NT, TT, D = xp.shape
     L, _, HD = kw.shape

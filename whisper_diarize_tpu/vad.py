@@ -31,6 +31,7 @@ from .types import SpeechSegment
 
 SAMPLE_RATE = 16_000
 MERGE_GAP_S = 0.200  # `vad.rs:50`
+MAX_BATCH_SAMPLES = 64_000_000  # device-batch bound: ~256 MB f32 per copy
 
 
 @dataclass
@@ -185,15 +186,46 @@ def get_segments_batch(
     max_len = max(lengths) if lengths else 0
     if max_len == 0:
         return [([], []) for _ in arrays]
-    batch = np.zeros((len(arrays), max_len), np.float32)
-    for i, x in enumerate(arrays):
-        batch[i, : len(x)] = int16_to_float32(x)
-    probs_all = np.asarray(silero_vad.speech_probs(model_params, batch))
+
+    # Bound the device batch: one [S, max_len] f32 batch (plus the context
+    # gather copy inside speech_probs) costs ~2 x S*max_len*4 bytes of HBM —
+    # 16 one-hour streams would be ~7 GB next to the whisper weights.
+    # Length-sorted streams go into sub-batches of at most MAX_BATCH_SAMPLES
+    # padded elements (sorting bounds the padding waste too); rows are
+    # independent, so grouping leaves per-stream results identical. A single
+    # over-budget stream still runs alone: the LSTM carries state across its
+    # chunks, so the time axis cannot be split.
+    order = sorted(
+        (i for i in range(len(arrays)) if lengths[i]),
+        key=lambda i: -lengths[i],
+    )
+    probs_by_stream: dict = {}
+    g0 = 0
+    while g0 < len(order):
+        group_max = lengths[order[g0]]
+        g1 = g0 + 1
+        while (
+            g1 < len(order)
+            and (g1 - g0 + 1) * group_max <= MAX_BATCH_SAMPLES
+        ):
+            g1 += 1
+        group = order[g0:g1]
+        batch = np.zeros((len(group), group_max), np.float32)
+        for r, i in enumerate(group):
+            batch[r, : lengths[i]] = int16_to_float32(arrays[i])
+        probs = np.asarray(silero_vad.speech_probs(model_params, batch))
+        for r, i in enumerate(group):
+            probs_by_stream[i] = probs[r]
+        g0 = g1
 
     out = []
     for i, x in enumerate(arrays):
         n_chunks = -(-lengths[i] // silero_vad.CHUNK)
-        mask = segments_from_probs(probs_all[i, :n_chunks], lengths[i], params)
+        p_i = probs_by_stream.get(i)
+        mask = (
+            segments_from_probs(p_i[:n_chunks], lengths[i], params)
+            if p_i is not None else []
+        )
         # defensive sort (`vad.rs:46`)
         mask = sorted([r for r in mask if r[1] > r[0]], key=lambda r: r[0])
         merged_ranges = merge_close_segments(mask)
