@@ -152,6 +152,10 @@ def main() -> None:
     if b_off and b_tail:
         print(f"  beam-5 tail:       {b_off:.3f} -> {b_tail:.3f} ms/step "
               f"({'KEEP' if b_tail < b_off else 'DROP'})")
+    if any(v is None for v in results.values()):
+        # the gate must not report success when a worker died (e.g. the
+        # package was not importable inside the subprocess)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
