@@ -158,6 +158,18 @@ def pack_tail_weights(params, cfg):
     return {"w": w, "b": b}
 
 
+def _onehot_cols(n, kq, start, dtype):
+    """[n, kq] one-hot selecting columns start..start+kq.
+
+    Mosaic cannot prove dynamic LANE-dim slice offsets (`ref[:, pl.ds(b, k)]`
+    with b = program_id) are 128-aligned and refuses to lower them; since
+    these buffers are single lane-tiles already in VMEM, select columns with
+    an exact 0/1 matmul instead (bf16 holds 0/1 exactly)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, kq), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, kq), 1)
+    return (rows == start + cols).astype(dtype)
+
+
 def _ln_t(v, g, beta, dtype, eps=1e-5):
     """Feature-major layernorm: v [D, R], normalize over axis 0 (f32 math,
     `models/whisper.py::_ln` transposed)."""
@@ -238,8 +250,11 @@ def _tail_kernel(D, TW, n_d, n4, KQ, H, Dh, TT, ta_total, scale,
 
     k = k_ref[0, 0, 0]  # [H, Dh, TT]
     v = v_ref[0, 0, 0]
-    qT = cqT[:, pl.ds(b * KQ, KQ)]  # [D, KQ]
-    qh = qT.reshape(H, Dh, KQ).astype(jnp.float32) * scale
+    sel = _onehot_cols(cqT.shape[1], KQ, b * KQ, dtype)
+    qT = jax.lax.dot_general(  # [D, KQ] — dynamic-lane gather via one-hot
+        cqT[...], sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qh = qT.reshape(H, Dh, KQ) * scale
     s = jax.lax.dot_general(
         qh.astype(k.dtype), k, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # [H, KQ, TT]
@@ -260,8 +275,17 @@ def _tail_kernel(D, TW, n_d, n4, KQ, H, Dh, TT, ta_total, scale,
     @pl.when(t == n_t - 1)
     def _finalize():
         out = acc_ref[:] / l2_ref[:][:, :, None]  # [H, KQ, Dh]
-        coT[:, :, pl.ds(b * KQ, KQ)] = jnp.transpose(
-            out, (0, 2, 1)).astype(dtype)
+        out_t = jnp.transpose(out, (0, 2, 1)).astype(dtype)  # [H, Dh, KQ]
+        nn = coT.shape[2]
+        # dynamic-lane scatter: expand this b's KQ columns to [H, Dh, N]
+        # via the one-hot transpose and merge under a lane mask
+        out_n = jax.lax.dot_general(
+            out_t, _onehot_cols(nn, KQ, b * KQ, dtype),
+            (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nn), 2)
+        mask = (lane >= b * KQ) & (lane < (b + 1) * KQ)
+        coT[...] = jnp.where(mask, out_n, coT[...])
 
     # ---- tail phase: co-projection + residual, ln3, MLP + residual ----
     @pl.when((b == n_b - 1) & (t == n_t - 1))
@@ -390,10 +414,17 @@ def _front_kernel(D, TW, n_d, H, Dh, Tc, scale,
     # ---- self-attention for stream b (the math of `_attn`, one query) ----
     k = kc_ref[0, 0]  # [H, Tc, Dh] pre-update cache
     v = vc_ref[0, 0]
-    q1 = qT[:, pl.ds(b, 1)].reshape(H, Dh, 1)  # [H, Dh, 1]
-    kn1 = knT_ref[:, pl.ds(b, 1)].reshape(H, Dh, 1)
-    vn1 = vnT_ref[:, pl.ds(b, 1)].reshape(H, Dh, 1)
-    qs = (q1.astype(jnp.float32) * scale).astype(k.dtype)
+    sel1 = _onehot_cols(qT.shape[1], 1, b, dtype)  # [B, 1]
+
+    def col_b(ref):  # dynamic-lane gather of stream b's column (see
+        return jax.lax.dot_general(  # _onehot_cols) -> [H, Dh, 1] f32
+            ref[...], sel1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(H, Dh, 1)
+
+    q1 = col_b(qT)
+    kn1 = col_b(knT_ref)
+    vn1 = col_b(vnT_ref)
+    qs = (q1 * scale).astype(k.dtype)
 
     s = jax.lax.dot_general(
         qs, (k.astype(jnp.float32) * scale).astype(k.dtype),
