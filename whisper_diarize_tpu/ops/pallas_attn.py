@@ -644,14 +644,20 @@ def cross_build_supported(D: int, H: int, Dh: int) -> bool:
         import numpy as np
 
         try:
-            xp = jnp.zeros((1, 1, T_TILE, D), jnp.bfloat16)
-            w = jnp.zeros((1, D, H * Dh), jnp.bfloat16)
-            vb = jnp.zeros((1, H * Dh), jnp.bfloat16)
-            k5, _ = cross_kv_tiled_pallas(xp, w, w, vb, H, Dh,
-                                          interpret=False)
-            # force execution — the tunnel defers async errors to the fetch
-            if not np.isfinite(np.asarray(k5).ravel()[:2]).all():
-                raise FloatingPointError("cross-build probe non-finite")
+            # the caller (`cross_kv_tiled`) is usually TRACED under a jitted
+            # init — without ensure_compile_time_eval the zeros below become
+            # tracers, np.asarray raises, and the except arm would memoize
+            # the geometry as unsupported for the whole process
+            with jax.ensure_compile_time_eval():
+                xp = jnp.zeros((1, 1, T_TILE, D), jnp.bfloat16)
+                w = jnp.zeros((1, D, H * Dh), jnp.bfloat16)
+                vb = jnp.zeros((1, H * Dh), jnp.bfloat16)
+                k5, _ = cross_kv_tiled_pallas(xp, w, w, vb, H, Dh,
+                                              interpret=False)
+                # force execution — the tunnel defers async errors to the
+                # fetch
+                if not np.isfinite(np.asarray(k5).ravel()[:2]).all():
+                    raise FloatingPointError("cross-build probe non-finite")
             ok = True
         except Exception as e:  # noqa: BLE001 — any lowering/runtime error
             logging.getLogger(__name__).warning(

@@ -54,6 +54,12 @@ logger = logging.getLogger(__name__)
 N_SLOTS = 3  # manual-DMA pipeline depth for the weight-tile stream
 SMALL_ROWS = 8  # ln2_s, ln2_b, ln3_s, ln3_b, o_b, cq_b, co_b, fc2_b
 
+# Mosaic's default scoped-VMEM stack limit is 16 MiB; the tail kernel's
+# scratch (3 weight slots + flash accumulators) plus double-buffered cross
+# K/V blocks needs ~16.4 MiB at large-v3 geometry (measured on v5e: 382 KiB
+# over). v5e has 128 MiB VMEM per core — raise the cap well clear of it.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 _PROBE_OK: bool | None = None
 
 
@@ -511,6 +517,7 @@ def fused_front_layer(
         ],
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(l_arr, p_arr, rp, xT, front_b, front_w, kc, vc)
     k_new = knT.T.reshape(B, H, Dh)[:, :, None, :]
     v_new = vnT.T.reshape(B, H, Dh)[:, :, None, :]
@@ -580,5 +587,6 @@ def fused_tail_layer(
         out_shape=jax.ShapeDtypeStruct((D, N), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(l_arr, xT, soT, tail_b, tail_w, k5, v5)
     return outT.T[:, None, :]
