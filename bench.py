@@ -68,15 +68,22 @@ def bench_config(model: str, *, beam: int = 1, diarize: bool = False,
             and os.environ.get("WDT_DISABLE_PALLAS_ATTN") != "1"
         ),
     )
+    # TPU acceptance gate verdict (tools/bench_megakernel.py, large-v3 b16):
+    # tail kernel wins greedy steps (9.895 -> 9.723 ms/step, KEEP); the
+    # front kernel loses (9.935, DROP — not attached); beam-5 with the
+    # ~2 GB tail weight pack resident EXHAUSTS v5e HBM on top of the split
+    # beam cache, so the pack is greedy-only.
+    if beam > 1:
+        dc = dataclasses.replace(dc, pallas_tail=False)
     if dec._resolve_pallas_tail(dc):
-        # fused decoder megakernels need their weight packs in the params
-        # pytree (same attach TranscribeStep does on model load); the probe
+        # the tail megakernel needs its weight pack in the params pytree
+        # (same attach TranscribeStep does on model load); the probe
         # degrades a Mosaic lowering failure to the un-fused path instead
         # of killing the bench row
         from whisper_diarize_tpu.ops.pallas_tail import (
-            megakernels_supported, pack_front_weights, pack_tail_weights)
+            megakernels_supported, pack_tail_weights)
 
-        if not megakernels_supported():
+        if not megakernels_supported(cfg.n_text_state, cfg.n_text_head):
             dc = dataclasses.replace(dc, pallas_tail=False)
     if dec._resolve_pallas_tail(dc):
         params = {
@@ -84,7 +91,6 @@ def bench_config(model: str, *, beam: int = 1, diarize: bool = False,
             "decoder": {
                 **params["decoder"],
                 "tail": pack_tail_weights(params, cfg),
-                "front": pack_front_weights(params, cfg),
             },
         }
 

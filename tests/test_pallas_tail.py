@@ -229,14 +229,18 @@ def test_fused_tail_multi_tile_geometry(monkeypatch):
 
 
 def test_megakernels_supported_probe():
-    """The production-geometry probe runs (interpret mode on CPU) and caches
-    its verdict; the default-on attach sites gate on it."""
-    pallas_tail._PROBE_OK = None
+    """The per-geometry probe runs (interpret mode on CPU) and caches its
+    verdict per (D, H); the default-on attach sites gate on it with the
+    model's own decoder geometry."""
+    pallas_tail._PROBE_OK = {}
     try:
         assert pallas_tail.megakernels_supported() is True
-        assert pallas_tail._PROBE_OK is True  # cached
+        assert pallas_tail._PROBE_OK[(1280, 20)] is True  # cached
+        # a second geometry probes independently (tiny fixture shapes)
+        assert pallas_tail.megakernels_supported(128, 2) in (True, False)
+        assert (128, 2) in pallas_tail._PROBE_OK
     finally:
-        pallas_tail._PROBE_OK = None
+        pallas_tail._PROBE_OK = {}
 
 
 def test_pack_tail_weights_tile_layout():

@@ -59,16 +59,15 @@ def main() -> None:
         pallas_cross=jax.default_backend() == "tpu",
     )
     if dec._resolve_pallas_tail(dc):
-        # megakernel weight packs (same attach TranscribeStep/bench.py do)
-        from whisper_diarize_tpu.ops.pallas_tail import (
-            pack_front_weights, pack_tail_weights)
+        # tail megakernel weight pack (same attach TranscribeStep/bench.py
+        # do; the front kernel lost the TPU gate and is no longer attached)
+        from whisper_diarize_tpu.ops.pallas_tail import pack_tail_weights
 
         params = {
             **params,
             "decoder": {
                 **params["decoder"],
                 "tail": pack_tail_weights(params, cfg),
-                "front": pack_front_weights(params, cfg),
             },
         }
     rng = np.random.default_rng(0)

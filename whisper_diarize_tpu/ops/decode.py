@@ -48,7 +48,10 @@ def _resolve_pallas_tail(dc: "DecodeConfig") -> bool:
     """Fused decoder-tail megakernel: explicit knob wins, else follow
     pallas_cross (it streams the same tiled cross cache); int8 cross K/V
     and meshes fall back to the un-fused path. WDT_DISABLE_PALLAS_TAIL=1
-    opts out."""
+    opts out. The kernel only engages when a weight pack is attached to
+    params["decoder"]["tail"] — TranscribeStep/bench.py attach it for
+    GREEDY strategies only (the ~2 GB pack on top of the split beam cache
+    exhausts v5e HBM at beam-5 b16; gate: tools/bench_megakernel.py)."""
     import os
 
     if os.environ.get("WDT_DISABLE_PALLAS_TAIL") == "1":

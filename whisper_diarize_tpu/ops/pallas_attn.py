@@ -641,14 +641,22 @@ def cross_build_supported(D: int, H: int, Dh: int) -> bool:
     key = (D, H, Dh)
     ok = _CROSS_BUILD_OK.get(key)
     if ok is None:
-        import numpy as np
+        import threading
 
-        try:
-            # the caller (`cross_kv_tiled`) is usually TRACED under a jitted
-            # init — without ensure_compile_time_eval the zeros below become
-            # tracers, np.asarray raises, and the except arm would memoize
-            # the geometry as unsupported for the whole process
-            with jax.ensure_compile_time_eval():
+        # the caller (`cross_kv_tiled`) is usually TRACED under a jitted
+        # init. JAX trace state is thread-local, so a worker thread gives
+        # the probe a FRESH context where the zeros below are concrete and
+        # the kernel compiles + executes for real. (The earlier
+        # ensure_compile_time_eval approach left Pallas lowering inside the
+        # ambient trace, where the kernel jaxpr picks up its grid scalars
+        # as captured constants and lowering aborts — observed on v5e at
+        # every geometry, silently disabling the kernel.)
+        box: dict = {}
+
+        def _probe() -> None:
+            import numpy as np
+
+            try:
                 xp = jnp.zeros((1, 1, T_TILE, D), jnp.bfloat16)
                 w = jnp.zeros((1, D, H * Dh), jnp.bfloat16)
                 vb = jnp.zeros((1, H * Dh), jnp.bfloat16)
@@ -658,13 +666,18 @@ def cross_build_supported(D: int, H: int, Dh: int) -> bool:
                 # fetch
                 if not np.isfinite(np.asarray(k5).ravel()[:2]).all():
                     raise FloatingPointError("cross-build probe non-finite")
-            ok = True
-        except Exception as e:  # noqa: BLE001 — any lowering/runtime error
+            except Exception as e:  # noqa: BLE001 — lowering/runtime error
+                box["err"] = e
+
+        t = threading.Thread(target=_probe, name="wdt-cross-build-probe")
+        t.start()
+        t.join()
+        ok = "err" not in box
+        if not ok:
             logging.getLogger(__name__).warning(
                 "cross-KV build kernel disabled at D=%d H=%d Dh=%d (probe "
                 "failed: %s); prefill falls back to the XLA einsum path",
-                D, H, Dh, e)
-            ok = False
+                D, H, Dh, box["err"])
         _CROSS_BUILD_OK[key] = ok
     return ok
 

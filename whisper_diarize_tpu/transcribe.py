@@ -157,7 +157,7 @@ class TranscribeStep:
 
             self.params = shard_params(self.params, mesh)
             self._suppress = jax.device_put(self._suppress, replicate(mesh))
-        elif dec._resolve_pallas_tail(self.dc):
+        elif dec._resolve_pallas_tail(self.dc) and strategy != "beam_search":
             # fused decoder-tail megakernel: pre-pack the tail projection
             # weights once per model load (`ops/pallas_tail.py`); the pack
             # rides inside the params pytree so the jitted decode loops
@@ -166,16 +166,20 @@ class TranscribeStep:
             # A one-time probe compiles the kernels at production geometry
             # first — a Mosaic lowering failure falls back to the un-fused
             # path with a warning instead of killing the transcription.
+            # TPU gate verdict (tools/bench_megakernel.py, large-v3 b16):
+            # tail KEEP on greedy (9.895 -> 9.723 ms/step); the front
+            # kernel lost (9.935) and is not attached; beam-5 with the
+            # ~2 GB pack resident OOMs v5e HBM on top of the split beam
+            # cache, hence the strategy guard.
             from .ops.pallas_tail import (
-                megakernels_supported, pack_front_weights, pack_tail_weights)
+                megakernels_supported, pack_tail_weights)
 
-            if megakernels_supported():
+            if megakernels_supported(cfg.n_text_state, cfg.n_text_head):
                 self.params = {
                     **self.params,
                     "decoder": {
                         **self.params["decoder"],
                         "tail": pack_tail_weights(self.params, cfg),
-                        "front": pack_front_weights(self.params, cfg),
                     },
                 }
         self._encode = jax.jit(lambda p, m: wm.encode(p, m, cfg))
