@@ -113,11 +113,11 @@ def main() -> None:
                                 suppress_mask=suppress)["logits"][0, :1]
     )
     print(f"prefill      {t_pre*1e3:8.1f} ms")
-    state = dec.greedy_init(
-        params, cfg, dc, sp, xa, prompt, P, suppress_mask=suppress
-    )
 
     # --- prefill sub-breakdown (where does t_pre go?) --------------------
+    # runs BEFORE the persistent decode state exists: state holds one full
+    # tiled cross cache (~8 GB on large-v3 b16) and cross_probe a second —
+    # both resident plus the tail weight pack exhausts v5e HBM
     cross_fn = jax.jit(
         lambda p, a: dec.build_cross_cache(p, cfg, dc, a), static_argnums=()
     )
@@ -141,9 +141,16 @@ def main() -> None:
 
     t_pf = best_of(lambda: prompt_fwd(params, cross_probe))
     print(f"  prompt_fwd {t_pf*1e3:8.1f} ms  (cache init + prompt decode_step)")
+    # t_pre/t_cross/t_pf are SINGLE-dispatch numbers, each carrying ~25 ms
+    # tunnel RTT once; the subtraction removes the RTT twice, so residual
+    # reads ~-25 ms when the true residual is ~0 (device times are roughly
+    # the printed numbers minus one RTT each)
     print(f"  residual   {(t_pre - t_cross - t_pf)*1e3:8.1f} ms  "
-          f"(softmax/no-speech/dispatch)")
+          f"(softmax/no-speech/dispatch; ~-25 ms = double-counted RTT)")
     del cross_probe, leaf
+    state = dec.greedy_init(
+        params, cfg, dc, sp, xa, prompt, P, suppress_mask=suppress
+    )
 
     def run(budget):
         # greedy_run donates its state: hand it a fresh copy every call
