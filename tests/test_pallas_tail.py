@@ -235,12 +235,175 @@ def test_megakernels_supported_probe():
     pallas_tail._PROBE_OK = {}
     try:
         assert pallas_tail.megakernels_supported() is True
-        assert pallas_tail._PROBE_OK[(1280, 20)] is True  # cached
+        assert pallas_tail._PROBE_OK[(1280, 20, False, False)] is True
+        # the quantized variants probe independently (int8 tiles + scales)
+        assert pallas_tail.megakernels_supported(
+            1280, 20, wq=True, kvq=True) is True
+        assert pallas_tail._PROBE_OK[(1280, 20, True, True)] is True
         # a second geometry probes independently (tiny fixture shapes)
         assert pallas_tail.megakernels_supported(128, 2) in (True, False)
-        assert (128, 2) in pallas_tail._PROBE_OK
+        assert (128, 2, False, False) in pallas_tail._PROBE_OK
     finally:
         pallas_tail._PROBE_OK = {}
+
+
+def _dequant_pack_into_params(params, cfg, pack):
+    """Rewrite the tail projection weights with the q8 pack's dequantized
+    values (inverting the tile packing), so an fp reference path computes
+    with EXACTLY the numbers the q8 kernel streams."""
+    D = cfg.n_text_state
+    TW = pallas_tail._pick_tw(D)
+    n_d, n4 = D // TW, 4 * D // TW
+    w = np.asarray(pack["w8"], np.float32) * np.asarray(
+        pack["ws"], np.float32)[:, :, None, :]  # [L, NTOT, D, TW]
+    L = w.shape[0]
+
+    def from_col_tiles(t0, n, dout):
+        # [L, n, D, TW] -> [L, D, dout]
+        return np.concatenate([w[:, t0 + j] for j in range(n)], axis=2)
+
+    blk = dict(params["decoder"]["blocks"])
+    blk["o_w"] = jnp.asarray(from_col_tiles(0, n_d, D))
+    blk["cq_w"] = jnp.asarray(from_col_tiles(n_d, n_d, D))
+    blk["co_w"] = jnp.asarray(from_col_tiles(2 * n_d, n_d, D))
+    blk["fc1_w"] = jnp.asarray(from_col_tiles(3 * n_d, n4, 4 * D))
+    f2 = np.concatenate(  # [L, D, TW] tiles -> [L, 4D, D]
+        [np.transpose(w[:, 3 * n_d + n4 + j], (0, 2, 1)) for j in range(n4)],
+        axis=1)
+    blk["fc2_w"] = jnp.asarray(f2)
+    return {**params, "decoder": {**params["decoder"], "blocks": blk}}
+
+
+@pytest.mark.parametrize("beams", [1, 3])
+def test_fused_tail_q8_weights(beams):
+    """int8 weight tiles (scales folded into tile-matmul outputs /
+    fc2 activations) must match the fp kernel run on the dequantized
+    weights."""
+    cfg = wm.WhisperConfig(
+        n_mels=8, n_vocab=64, n_audio_ctx=40, n_audio_state=32,
+        n_audio_head=4, n_audio_layer=1, n_text_ctx=64, n_text_state=32,
+        n_text_head=4, n_text_layer=2,
+    )
+    B, Ta, t_tile = 2, 40, 16
+    params, x, so, k5, v5 = _mk(cfg, B, beams, Ta, t_tile, seed=21)
+    qpack = pallas_tail.pack_tail_weights(params, cfg, quantize=True)
+    assert qpack["w8"].dtype == jnp.int8
+    # fp pack carrying exactly the dequantized values
+    params_dq = _dequant_pack_into_params(params, cfg, qpack)
+    fpack = pallas_tail.pack_tail_weights(params_dq, cfg)
+    np.testing.assert_allclose(
+        np.asarray(fpack["w"]),
+        np.asarray(qpack["w8"], np.float32)
+        * np.asarray(qpack["ws"])[:, :, None, :],
+        rtol=1e-6, atol=1e-7)
+    for layer in range(cfg.n_text_layer):
+        ref = pallas_tail.fused_tail_layer(
+            jnp.int32(layer), x, so, fpack["w"], fpack["b"], k5, v5,
+            beams=beams, ta_total=Ta, interpret=True)
+        got = pallas_tail.fused_tail_layer(
+            jnp.int32(layer), x, so, qpack["w8"], qpack["b"], k5, v5,
+            tail_ws=qpack["ws"], beams=beams, ta_total=Ta, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("beams", [1, 3])
+def test_fused_tail_q8_cross_kv(beams):
+    """int8 cross K/V (scales folded into scores/probabilities, the
+    `pallas_attn._flash_kernel_q8` math) must match the fp kernel on the
+    dequantized cache."""
+    from whisper_diarize_tpu.ops.pallas_attn import tile_quantize_cross_kv
+
+    cfg = wm.WhisperConfig(
+        n_mels=8, n_vocab=64, n_audio_ctx=40, n_audio_state=32,
+        n_audio_head=4, n_audio_layer=1, n_text_ctx=64, n_text_state=32,
+        n_text_head=4, n_text_layer=2,
+    )
+    B, Ta, t_tile = 2, 40, 16
+    rng = np.random.default_rng(23)
+    params, x, so, _, _ = _mk(cfg, B, beams, Ta, t_tile, seed=23)
+    L, H, Dh = cfg.n_text_layer, cfg.n_text_head, cfg.head_dim
+    k = jnp.asarray(rng.standard_normal((L, B, H, Ta, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, B, H, Ta, Dh)), jnp.float32)
+    k8, ks, v8, vs = tile_quantize_cross_kv(k, v, t_tile=t_tile)
+    # dequantized fp tiles for the reference kernel
+    k5 = jnp.asarray(k8, jnp.float32) * ks[:, :, :, :, None, :]
+    v5 = jnp.asarray(v8, jnp.float32) * vs[:, :, :, :, None, :]
+    pack = pallas_tail.pack_tail_weights(params, cfg)
+    for layer in range(cfg.n_text_layer):
+        ref = pallas_tail.fused_tail_layer(
+            jnp.int32(layer), x, so, pack["w"], pack["b"], k5, v5,
+            beams=beams, ta_total=Ta, interpret=True)
+        got = pallas_tail.fused_tail_layer(
+            jnp.int32(layer), x, so, pack["w"], pack["b"], k8, v8,
+            ks=ks, vs=vs, beams=beams, ta_total=Ta, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
+def test_greedy_decode_tail_q8_kv_parity():
+    """End-to-end: quantize_cross_kv decode with the tail kernel attached
+    must produce the same tokens as the un-fused tiled-q8 einsum path (the
+    quantization itself is identical; only the attention/tail fusion
+    differs)."""
+    from tests.test_whisper_model import TINY_TEST_CFG
+    from whisper_diarize_tpu.ops import decode as dec
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+
+    cfg = TINY_TEST_CFG
+    params = wm.init_params(cfg, seed=31)
+    mel = jnp.asarray(
+        np.random.default_rng(32).standard_normal((2, 80, 3000)), jnp.float32)
+    xa = wm.encode(params, mel, cfg)
+    tk = DebugTokenizer()
+    prompt = jnp.asarray(
+        np.tile(np.array(tk.sot_sequence(language="en"), np.int32), (2, 1)))
+    dc = dec.DecodeConfig(
+        max_tokens=10, blank_id=32, pallas_cross=True, unroll_layers=True,
+        quantize_cross_kv=True)
+    r0 = dec.greedy_decode(
+        params, cfg, dc, tk.specials, xa, prompt, prompt.shape[1])
+    r1 = dec.greedy_decode(
+        _attach_tail(params, cfg, front=False), cfg, dc, tk.specials, xa,
+        prompt, prompt.shape[1])
+    np.testing.assert_array_equal(np.asarray(r0.tokens), np.asarray(r1.tokens))
+    np.testing.assert_allclose(
+        np.asarray(r0.token_probs), np.asarray(r1.token_probs),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_greedy_decode_tail_q8_weights_parity():
+    """End-to-end wiring: a q8 weight pack attached to the params produces
+    the same tokens as running the UN-fused path on params whose tail
+    weights are the pack's dequantized values."""
+    from tests.test_whisper_model import TINY_TEST_CFG
+    from whisper_diarize_tpu.ops import decode as dec
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+
+    cfg = TINY_TEST_CFG
+    params = wm.init_params(cfg, seed=33)
+    qpack = pallas_tail.pack_tail_weights(params, cfg, quantize=True)
+    params_dq = _dequant_pack_into_params(params, cfg, qpack)
+    mel = jnp.asarray(
+        np.random.default_rng(34).standard_normal((2, 80, 3000)), jnp.float32)
+    tk = DebugTokenizer()
+    prompt = jnp.asarray(
+        np.tile(np.array(tk.sot_sequence(language="en"), np.int32), (2, 1)))
+    dc = dec.DecodeConfig(
+        max_tokens=10, blank_id=32, pallas_cross=True, unroll_layers=True)
+    # reference: un-fused decode on the dequantized weights (prefill uses
+    # the original qkv/embed weights either way; only the tail differs and
+    # only on SAMPLING steps, which is exactly what the pack covers)
+    xa_dq = wm.encode(params_dq, mel, cfg)
+    r0 = dec.greedy_decode(
+        params_dq, cfg, dc, tk.specials, xa_dq, prompt, prompt.shape[1])
+    params_q8 = {
+        **params_dq,
+        "decoder": {**params_dq["decoder"], "tail": qpack},
+    }
+    r1 = dec.greedy_decode(
+        params_q8, cfg, dc, tk.specials, xa_dq, prompt, prompt.shape[1])
+    np.testing.assert_array_equal(np.asarray(r0.tokens), np.asarray(r1.tokens))
 
 
 def test_pack_tail_weights_tile_layout():

@@ -44,11 +44,27 @@ def worker(model: str, batch: int, variant: str, mode: str) -> None:
     tk = DebugTokenizer(num_languages=cfg.num_languages)
     sp = tk.specials
     smoke = os.environ.get("WDT_QUANT_SMOKE") == "1"
+    # variant grammar: "fp" | "tail" | "q8kv" | "q8kv+tail" | "q8all+tail"
+    # (q8all = int8 cross K/V AND int8 weight tiles; tail = megakernel pack)
+    kvq = variant.startswith("q8")
+    wq = variant.startswith("q8all")
     dc = dec.DecodeConfig(
         max_tokens=8 if smoke else 64, with_timestamps=True,
         beam_size=5 if mode == "beam" else None,
-        pallas_cross=True, quantize_cross_kv=variant == "q8",
+        pallas_cross=True, quantize_cross_kv=kvq,
+        quantize_tail_weights=wq,
+        pallas_tail="tail" in variant,
     )
+    if "tail" in variant:
+        from whisper_diarize_tpu.ops.pallas_tail import pack_tail_weights
+
+        params = {
+            **params,
+            "decoder": {
+                **params["decoder"],
+                "tail": pack_tail_weights(params, cfg, quantize=wq),
+            },
+        }
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(
@@ -73,6 +89,15 @@ def worker(model: str, batch: int, variant: str, mode: str) -> None:
 
     init = dec.greedy_init if mode == "greedy" else dec.beam_init
     run = dec.greedy_run if mode == "greedy" else dec.beam_run
+    b_lo, b_hi, reps = (4, 8, 1) if smoke else (32, 64, 5)
+
+    # prefill (init) timing FIRST, before the persistent decode state
+    # exists — two live cross caches exhaust v5e HBM on large-v3 b16 (the
+    # breakdown tool hit the same trap; probe-then-allocate)
+    t_init = best_of(
+        lambda: init(params, cfg, dc, sp, xa, prompt, P,
+                     suppress_mask=suppress)["logits"][0, :2],
+        n=max(1, reps - 2))
     state = init(params, cfg, dc, sp, xa, prompt, P, suppress_mask=suppress)
 
     def step_run(budget):
@@ -80,15 +105,8 @@ def worker(model: str, batch: int, variant: str, mode: str) -> None:
         return run(params, cfg, dc, sp, st, suppress, P,
                    jnp.int32(budget))["tokens"][0, :2]
 
-    b_lo, b_hi, reps = (4, 8, 1) if smoke else (32, 64, 5)
     t_lo = best_of(lambda: step_run(b_lo), n=reps)
     t_hi = best_of(lambda: step_run(b_hi), n=reps)
-    # prefill (init) timing: the q8 path quantizes on top of the plain
-    # build, so report it too
-    t_init = best_of(
-        lambda: init(params, cfg, dc, sp, xa, prompt, P,
-                     suppress_mask=suppress)["logits"][0, :2],
-        n=max(1, reps - 2))
     print(json.dumps({
         "variant": variant, "mode": mode,
         "ms_per_step": (t_hi - t_lo) / (b_hi - b_lo) * 1e3,
@@ -103,7 +121,12 @@ def main() -> None:
     results = {}
     failed = False
     for mode in ("greedy", "beam"):
-        for variant in ("fp", "q8"):
+        # greedy's production default is fp+tail; the quantized ladder
+        # keeps the tail kernel in (it folds the scales in VMEM). Beam
+        # cannot hold the pack (HBM), so its ladder is pack-free.
+        variants = (("fp", "tail", "q8kv+tail", "q8all+tail")
+                    if mode == "greedy" else ("fp", "q8kv"))
+        for variant in variants:
             out = subprocess.run(
                 [sys.executable, __file__, "--worker", model, str(batch),
                  variant, mode],
@@ -117,16 +140,16 @@ def main() -> None:
                 failed = True
                 continue
             results[(mode, variant)] = r
-            print(f"{mode:6s} {variant:3s} {r['ms_per_step']:7.3f} ms/step "
+            print(f"{mode:6s} {variant:10s} {r['ms_per_step']:7.3f} ms/step "
                   f"(64-step {r['t64_ms']:.1f} ms, init {r['init_ms']:.1f} ms)")
 
-    print("\nverdict:")
-    for mode in ("greedy", "beam"):
-        fp, q8 = results.get((mode, "fp")), results.get((mode, "q8"))
-        if fp and q8:
-            print(f"  {mode} q8 cross-KV: {fp['ms_per_step']:.3f} -> "
-                  f"{q8['ms_per_step']:.3f} ms/step "
-                  f"({fp['ms_per_step'] / q8['ms_per_step']:.2f}x)")
+    print("\nverdict (vs each mode's fp baseline):")
+    for (mode, variant), r in results.items():
+        fp = results.get((mode, "fp"))
+        if r and fp and variant != "fp":
+            print(f"  {mode} {variant}: {fp['ms_per_step']:.3f} -> "
+                  f"{r['ms_per_step']:.3f} ms/step "
+                  f"({fp['ms_per_step'] / r['ms_per_step']:.2f}x)")
     if failed:
         sys.exit(1)
 

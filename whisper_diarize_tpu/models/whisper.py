@@ -639,6 +639,27 @@ def _decoder_qkv(x, blk, H):
     return q, k_new, v_new
 
 
+def _fused_tail_call(dec, cross_cache, l, x, self_out, beams, cfg):
+    """Dispatch one decoder-layer tail to the megakernel
+    (`ops/pallas_tail.py`), routing whichever pack (bf16 "w" / int8
+    "w8"+"ws") and cross-cache layout (bf16 "k5"/"v5" / int8
+    "k8"/"ks"/"v8"/"vs") the caller attached."""
+    from ..ops.pallas_tail import fused_tail_layer
+
+    pack = dec["tail"]
+    kvq = "k8" in cross_cache
+    return fused_tail_layer(
+        jnp.int32(l), x, self_out,
+        pack["w8"] if "w8" in pack else pack["w"], pack["b"],
+        cross_cache["k8"] if kvq else cross_cache["k5"],
+        cross_cache["v8"] if kvq else cross_cache["v5"],
+        tail_ws=pack.get("ws"),
+        ks=cross_cache.get("ks") if kvq else None,
+        vs=cross_cache.get("vs") if kvq else None,
+        beams=beams, ta_total=cfg.n_audio_ctx,
+        interpret=_pallas_interpret())
+
+
 def _decoder_layer_tail(x, blk, self_out, cross_fn, ck, cv, layer_idx, H):
     """Everything after self-attention: output proj, cross-attention, MLP."""
     x = x + _unheads(self_out) @ blk["o_w"] + blk["o_b"]
@@ -750,7 +771,7 @@ def decode_step(
     # (single-device, bf16-tiled cross cache, sampling steps only).
     use_tail = (
         dec.get("tail") is not None and S == 1 and unroll and mesh is None
-        and "k5" in cross_cache and S * beams <= 64
+        and ("k5" in cross_cache or "k8" in cross_cache) and S * beams <= 64
     )
     # companion front kernel (ln1 + qkv + self-attention fused): greedy
     # steps only — beam search fronts go through decode_step_split
@@ -780,13 +801,8 @@ def decode_step(
             if not use_front:
                 self_out = _attn(q, kc[l], vc[l], mask)
             if use_tail:
-                from ..ops.pallas_tail import fused_tail_layer
-
-                x = fused_tail_layer(
-                    jnp.int32(l), x, self_out,
-                    dec["tail"]["w"], dec["tail"]["b"],
-                    cross_cache["k5"], cross_cache["v5"], beams=beams,
-                    ta_total=cfg.n_audio_ctx, interpret=_pallas_interpret())
+                x = _fused_tail_call(
+                    dec, cross_cache, l, x, self_out, beams, cfg)
             else:
                 ck, cv = cross_select(l)
                 x = _decoder_layer_tail(
@@ -1063,7 +1079,7 @@ def decode_step_split(
     # always S == 1 here)
     use_tail = (
         dec.get("tail") is not None and unroll and mesh is None
-        and "k5" in cross_cache and beams <= 64
+        and ("k5" in cross_cache or "k8" in cross_cache) and beams <= 64
     )
     if unroll:
         dk, dv = decode_cache["k"], decode_cache["v"]
@@ -1085,13 +1101,8 @@ def decode_step_split(
                 self_out = split_attn(
                     q, pk[l], pv[l], _deref(dk[l]), _deref(dv[l]))
             if use_tail:
-                from ..ops.pallas_tail import fused_tail_layer
-
-                x = fused_tail_layer(
-                    jnp.int32(l), x, self_out,
-                    dec["tail"]["w"], dec["tail"]["b"],
-                    cross_cache["k5"], cross_cache["v5"], beams=beams,
-                    ta_total=cfg.n_audio_ctx, interpret=_pallas_interpret())
+                x = _fused_tail_call(
+                    dec, cross_cache, l, x, self_out, beams, cfg)
             else:
                 ck, cv = cross_select(l)
                 x = _decoder_layer_tail(

@@ -46,17 +46,18 @@ def _resolve_pallas_split(dc: "DecodeConfig") -> bool:
 
 def _resolve_pallas_tail(dc: "DecodeConfig") -> bool:
     """Fused decoder-tail megakernel: explicit knob wins, else follow
-    pallas_cross (it streams the same tiled cross cache); int8 cross K/V
-    and meshes fall back to the un-fused path. WDT_DISABLE_PALLAS_TAIL=1
-    opts out. The kernel only engages when a weight pack is attached to
+    pallas_cross (it streams the same tiled cross cache — bf16 or the
+    int8 variant, whose scales the kernel folds in VMEM); meshes fall
+    back to the un-fused path. WDT_DISABLE_PALLAS_TAIL=1 opts out. The
+    kernel only engages when a weight pack is attached to
     params["decoder"]["tail"] — TranscribeStep/bench.py attach it for
-    GREEDY strategies only (the ~2 GB pack on top of the split beam cache
-    exhausts v5e HBM at beam-5 b16; gate: tools/bench_megakernel.py)."""
+    GREEDY strategies only (the ~2 GB bf16 pack on top of the split beam
+    cache exhausts v5e HBM at beam-5 b16; gate: tools/bench_megakernel.py)."""
     import os
 
     if os.environ.get("WDT_DISABLE_PALLAS_TAIL") == "1":
         return False
-    if dc.quantize_cross_kv or dc.mesh is not None:
+    if dc.mesh is not None:
         return False
     return dc.pallas_cross if dc.pallas_tail is None else dc.pallas_tail
 
@@ -97,6 +98,13 @@ class DecodeConfig:
     # call, `ops/pallas_tail.py`). None = follow pallas_cross; engaged by
     # TranscribeStep attaching a packed weight bundle to the params.
     pallas_tail: Optional[bool] = None
+    # Stream the tail megakernel's weight pack as int8 (per-tile-column
+    # scales folded in VMEM): halves the pack's HBM residency and the
+    # per-step weight stream. Quality knob, like quantize_cross_kv — the
+    # TPU-native counterpart of running a quantized GGML checkpoint
+    # (whisper.cpp's q8_0 decode). Only meaningful where pallas_tail
+    # engages.
+    quantize_tail_weights: bool = False
     # Unroll the decoder layer loop in the SAMPLING step (None = auto: on
     # for TPU). The lax.scan over stacked layers re-materializes every
     # layer's weights each step (~+1.7 GB/step HBM on large-v3; 13.1 ->

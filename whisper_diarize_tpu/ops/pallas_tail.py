@@ -73,9 +73,12 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 _PROBE_OK: dict = {}
 
 
-def megakernels_supported(D: int = 1280, H: int = 20) -> bool:
+def megakernels_supported(D: int = 1280, H: int = 20,
+                          wq: bool = False, kvq: bool = False) -> bool:
     """Per-geometry probe: compile + run the TAIL megakernel at THIS
-    model's decoder geometry (tiny batch, L=1, TT=512; TW via `_pick_tw`).
+    model's decoder geometry (tiny batch, L=1, TT=512; TW via `_pick_tw`),
+    in the variant the caller will engage (`wq` int8 weight tiles, `kvq`
+    int8 cross K/V).
 
     The kernel was developed against the interpret-mode backend, and
     Mosaic lowering can fail where interpret succeeds (unsupported
@@ -85,26 +88,26 @@ def megakernels_supported(D: int = 1280, H: int = 20) -> bool:
     this WITH THE MODEL'S OWN D/H so a lowering failure degrades to the
     un-fused Pallas-cross path with a warning instead of killing the run
     (same pattern as `pallas_attn.cross_build_supported`); the benchmark
-    tools bypass it to keep failures loud. Memoized per (D, H). The front
-    kernel is no longer probed: it lost the TPU acceptance gate and is
-    only engaged explicitly by `tools/bench_megakernel.py`."""
-    key = (D, H)
+    tools bypass it to keep failures loud. Memoized per (D, H, wq, kvq).
+    The front kernel is no longer probed: it lost the TPU acceptance gate
+    and is only engaged explicitly by `tools/bench_megakernel.py`."""
+    key = (D, H, wq, kvq)
     ok = _PROBE_OK.get(key)
     if ok is None:
         try:
-            _probe(D, H)
+            _probe(D, H, wq, kvq)
             ok = True
         except Exception as e:  # noqa: BLE001 — any lowering/runtime error
             logger.warning(
-                "decoder tail megakernel disabled at D=%d H=%d (probe "
-                "failed: %s); decode falls back to the un-fused Pallas "
-                "cross-attention path", D, H, e)
+                "decoder tail megakernel disabled at D=%d H=%d wq=%s kvq=%s "
+                "(probe failed: %s); decode falls back to the un-fused "
+                "Pallas cross-attention path", D, H, wq, kvq, e)
             ok = False
         _PROBE_OK[key] = ok
     return ok
 
 
-def _probe(D: int, H: int) -> None:
+def _probe(D: int, H: int, wq: bool = False, kvq: bool = False) -> None:
     import numpy as np
 
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
@@ -117,12 +120,27 @@ def _probe(D: int, H: int) -> None:
         return jnp.asarray(
             rng.standard_normal(shape).astype(np.float32) * scale, dtype)
 
+    def i8(*shape):
+        return jnp.asarray(
+            rng.integers(-127, 128, shape, dtype=np.int8))
+
+    def sc(*shape):
+        return jnp.full(shape, 0.01, jnp.float32)
+
     x = arr(B, 1, D)
     so = arr(B, H, 1, Dh)
-    k5, v5 = arr(1, B, NT, H, Dh, TT), arr(1, B, NT, H, Dh, TT)
+    NTOT = 3 * n_d + 2 * n4
+    w = i8(1, NTOT, D, TW) if wq else arr(1, NTOT, D, TW)
+    ws = sc(1, NTOT, TW) if wq else None
+    if kvq:
+        k5, v5 = i8(1, B, NT, H, Dh, TT), i8(1, B, NT, H, Dh, TT)
+        ks, vs = sc(1, B, NT, H, TT), sc(1, B, NT, H, TT)
+    else:
+        k5, v5 = arr(1, B, NT, H, Dh, TT), arr(1, B, NT, H, Dh, TT)
+        ks = vs = None
     out = fused_tail_layer(
-        jnp.int32(0), x, so, arr(1, 3 * n_d + 2 * n4, D, TW),
-        arr(1, SMALL_ROWS + 4, D), k5, v5, beams=1,
+        jnp.int32(0), x, so, w, arr(1, SMALL_ROWS + 4, D), k5, v5,
+        tail_ws=ws, ks=ks, vs=vs, beams=1,
         ta_total=NT * TT - 100, interpret=None)
     # force execution (the tunnel defers async errors to the fetch)
     if not np.isfinite(np.asarray(out[0]).ravel()[:4]).all():
@@ -139,7 +157,7 @@ def _pick_tw(D: int) -> int:
     return best if best else D
 
 
-def pack_tail_weights(params, cfg):
+def pack_tail_weights(params, cfg, quantize: bool = False):
     """Pre-pack the decoder tail weights for `fused_tail_layer`.
 
     Returns {"w": [L, NTOT, D, TW], "b": [L, SMALL_ROWS + 4, D]} where the
@@ -149,6 +167,17 @@ def pack_tail_weights(params, cfg):
     through a single buffer. Built once per model load (~2x the decoder
     tail weights in HBM traffic); the original params stay authoritative
     for prefill and the scan driver.
+
+    `quantize=True` returns {"w8": int8 [L, NTOT, D, TW], "ws": f32
+    [L, NTOT, TW], "b"} instead: symmetric per-tile-column int8 (the D-long
+    contraction column of each tile shares one scale), halving both the
+    pack's HBM residency and the per-step weight stream (~36 -> ~18
+    MB/layer on large-v3). The kernel folds the scale into each tile
+    matmul's OUTPUT (col tiles) or into the activations (fc2 contraction
+    tiles), so the MXU never sees a dequantized array — the quality knob
+    counterpart of the reference's quantized-GGML decode
+    (`/root/reference/src/model_manager.rs:162` model files ship q5_0/q8_0
+    variants that whisper.cpp runs quantized in-kernel).
     """
     blk = params["decoder"]["blocks"]
     D = cfg.n_text_state
@@ -174,7 +203,14 @@ def pack_tail_weights(params, cfg):
          blk["fc1_b"].reshape(L, 4, D)],
         axis=1,
     )
-    return {"w": w, "b": b}
+    if not quantize:
+        return {"w": w, "b": b}
+    s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=2)  # [L, NTOT, TW]
+    s = jnp.maximum(s, 1e-8) / 127.0
+    w8 = jnp.clip(
+        jnp.round(w.astype(jnp.float32) / s[:, :, None, :]), -127, 127
+    ).astype(jnp.int8)
+    return {"w8": w8, "ws": s.astype(jnp.float32), "b": b}
 
 
 def _onehot_cols(n, kq, start, dtype):
@@ -200,9 +236,24 @@ def _ln_t(v, g, beta, dtype, eps=1e-5):
             + beta.astype(jnp.float32)[:, None]).astype(dtype)
 
 
-def _tail_kernel(D, TW, n_d, n4, KQ, H, Dh, TT, ta_total, scale,
-                 l_ref, xT_ref, soT_ref, sm_ref, w_hbm, k_ref, v_ref,
-                 o_ref, wbuf, x1T, cqT, coT, m_ref, l2_ref, acc_ref, sems):
+def _tail_kernel(D, TW, n_d, n4, KQ, H, Dh, TT, ta_total, scale, wq, kvq,
+                 l_ref, *refs):
+    # optional-ref unpacking (wq = int8 weight tiles + per-column scales,
+    # kvq = int8 cross K/V + per-position scales; both static trace flags)
+    refs = list(refs)
+    xT_ref, soT_ref, sm_ref = refs[:3]
+    refs = refs[3:]
+    ws_ref = refs.pop(0) if wq else None
+    w_hbm = refs.pop(0)
+    if kvq:
+        k_ref, ks_ref, v_ref, vs_ref = refs[:4]
+        refs = refs[4:]
+    else:
+        k_ref, v_ref = refs[:2]
+        ks_ref = vs_ref = None
+        refs = refs[2:]
+    (o_ref, wbuf, x1T, cqT, coT, m_ref, l2_ref, acc_ref, sems) = refs
+
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_b = pl.num_programs(0)
@@ -227,7 +278,18 @@ def _tail_kernel(D, TW, n_d, n4, KQ, H, Dh, TT, ta_total, scale,
             if i + N_SLOTS - 1 < n:
                 dma(i + N_SLOTS - 1).start()
             dma(i).wait()
-            consume(i, wbuf[i % N_SLOTS])
+            consume(i, tile_ids[i], wbuf[i % N_SLOTS])
+
+    def col_mm(wt, tid, act):
+        """[D, TW] tile x [D, N] activations -> [TW, N] f32; int8 tiles
+        fold their per-column scale into the OUTPUT rows (output row r =
+        tile column r), so the MXU never sees a dequantized tile."""
+        y = jax.lax.dot_general(
+            wt.astype(dtype) if wq else wt, act,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        if wq:
+            y = y * ws_ref[0, tid].astype(jnp.float32)[:, None]
+        return y
 
     # ---- front phase: o-projection + residual, ln2, cross-q projection
     @pl.when((b == 0) & (t == 0))
@@ -236,12 +298,10 @@ def _tail_kernel(D, TW, n_d, n4, KQ, H, Dh, TT, ta_total, scale,
         soflat = soT_ref[...].reshape(D, soT_ref.shape[2])  # [D, N] major
         h2 = [None]
 
-        def consume(i, wt):
+        def consume(i, tid, wt):
             if i < n_d:  # o_w tile i -> x1T columns
                 j = i
-                y = jax.lax.dot_general(
-                    wt, soflat, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                y = col_mm(wt, tid, soflat)
                 y = y + sm[4, j * TW:(j + 1) * TW].astype(
                     jnp.float32)[:, None]
                 x1T[j * TW:(j + 1) * TW, :] = (
@@ -250,9 +310,7 @@ def _tail_kernel(D, TW, n_d, n4, KQ, H, Dh, TT, ta_total, scale,
                 j = i - n_d
                 if h2[0] is None:
                     h2[0] = _ln_t(x1T[...], sm[0], sm[1], dtype)
-                y = jax.lax.dot_general(
-                    wt, h2[0], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                y = col_mm(wt, tid, h2[0])
                 y = y + sm[5, j * TW:(j + 1) * TW].astype(
                     jnp.float32)[:, None]
                 cqT[j * TW:(j + 1) * TW, :] = y.astype(dtype)
@@ -260,14 +318,15 @@ def _tail_kernel(D, TW, n_d, n4, KQ, H, Dh, TT, ta_total, scale,
         stream(list(range(2 * n_d)), consume)
 
     # ---- flash cross-attention for stream b, K/V tile t (the math of
-    # pallas_attn.py::_flash_kernel, queries feature-major) ----
+    # pallas_attn.py::_flash_kernel / _flash_kernel_q8, queries
+    # feature-major; int8 K/V scales fold into scores / probabilities) ----
     @pl.when(t == 0)
     def _reset():
         m_ref[:] = jnp.full_like(m_ref, -1e30)
         l2_ref[:] = jnp.zeros_like(l2_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    k = k_ref[0, 0, 0]  # [H, Dh, TT]
+    k = k_ref[0, 0, 0]  # [H, Dh, TT] (bf16, or int8 when kvq)
     v = v_ref[0, 0, 0]
     sel = _onehot_cols(cqT.shape[1], KQ, b * KQ, dtype)
     qT = jax.lax.dot_general(  # [D, KQ] — dynamic-lane gather via one-hot
@@ -275,8 +334,10 @@ def _tail_kernel(D, TW, n_d, n4, KQ, H, Dh, TT, ta_total, scale,
         preferred_element_type=jnp.float32)
     qh = qT.reshape(H, Dh, KQ) * scale
     s = jax.lax.dot_general(
-        qh.astype(k.dtype), k, (((1,), (1,)), ((0,), (0,))),
+        qh.astype(dtype), k.astype(dtype), (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # [H, KQ, TT]
+    if kvq:
+        s = s * ks_ref[0, 0, 0][:, None, :]  # per-position key scales
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
     s = jnp.where((t * TT + col) < ta_total, s, -jnp.inf)
 
@@ -285,8 +346,10 @@ def _tail_kernel(D, TW, n_d, n4, KQ, H, Dh, TT, ta_total, scale,
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new[:, :, None])
     l2_ref[:] = l2_ref[:] * alpha + jnp.sum(p, axis=-1)
+    if kvq:
+        p = p * vs_ref[0, 0, 0][:, None, :]  # value scales fold into probs
     pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (2,)), ((0,), (0,))),
+        p.astype(dtype), v.astype(dtype), (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # [H, KQ, Dh]
     acc_ref[:] = acc_ref[:] * alpha[:, :, None] + pv
     m_ref[:] = m_new
@@ -315,12 +378,10 @@ def _tail_kernel(D, TW, n_d, n4, KQ, H, Dh, TT, ta_total, scale,
         h4 = [None]
         mlp_acc = [jnp.zeros((D, coT.shape[2]), jnp.float32)]
 
-        def consume(i, wt):
+        def consume(i, tid, wt):
             if i < n_d:  # co_w tile -> x1T residual update
                 j = i
-                y = jax.lax.dot_general(
-                    wt, coflat, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                y = col_mm(wt, tid, coflat)
                 y = y + sm[6, j * TW:(j + 1) * TW].astype(
                     jnp.float32)[:, None]
                 x1T[j * TW:(j + 1) * TW, :] = (
@@ -329,9 +390,7 @@ def _tail_kernel(D, TW, n_d, n4, KQ, H, Dh, TT, ta_total, scale,
                 j = (i - n_d) // 2
                 if h3[0] is None:
                     h3[0] = _ln_t(x1T[...], sm[2], sm[3], dtype)
-                y = jax.lax.dot_general(
-                    wt, h3[0], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [TW, N]
+                y = col_mm(wt, tid, h3[0])  # [TW, N]
                 # fc1 bias: flat slice [j*TW, (j+1)*TW) of the 4D vector,
                 # packed as rows SMALL_ROWS.. of the smalls bundle (TW
                 # divides D so a tile never straddles rows)
@@ -339,9 +398,17 @@ def _tail_kernel(D, TW, n_d, n4, KQ, H, Dh, TT, ta_total, scale,
                 colo = (j * TW) % D
                 y = y + sm[row, colo:colo + TW].astype(jnp.float32)[:, None]
                 h4[0] = jax.nn.gelu(y).astype(dtype)
-            else:  # fc2 contraction tile j (transposed to [D, TW])
+            else:  # fc2 contraction tile j (transposed to [D, TW]); int8
+                # per-column scales are per CONTRACTION element here, so
+                # they fold into the activations instead of the output
+                h4v = h4[0]
+                if wq:
+                    h4v = (h4v.astype(jnp.float32)
+                           * ws_ref[0, tid].astype(jnp.float32)[:, None]
+                           ).astype(dtype)
                 mlp_acc[0] = mlp_acc[0] + jax.lax.dot_general(
-                    wt, h4[0], (((1,), (0,)), ((), ())),
+                    wt.astype(dtype) if wq else wt, h4v,
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
         ids = list(range(2 * n_d, 3 * n_d))  # co tiles
@@ -543,19 +610,32 @@ def fused_tail_layer(
     layer_idx,          # scalar int32 — which layer's weights/K/V
     x: jnp.ndarray,     # [N, 1, D] hidden after self-attention's residual input
     self_out: jnp.ndarray,  # [N, H, 1, Dh] self-attention output (pre o-proj)
-    tail_w: jnp.ndarray,    # [L, NTOT, D, TW] pack_tail_weights()["w"]
+    tail_w: jnp.ndarray,    # [L, NTOT, D, TW] pack "w" (bf16) or "w8" (int8)
     tail_b: jnp.ndarray,    # [L, SMALL_ROWS+4, D] pack_tail_weights()["b"]
     k5: jnp.ndarray,    # [L, B, NT, H, Dh, TT] pre-tiled cross keys
-    v5: jnp.ndarray,
+    v5: jnp.ndarray,    #   (bf16 "k5"/"v5", or int8 "k8"/"v8" with ks/vs)
+    tail_ws: jnp.ndarray | None = None,  # [L, NTOT, TW] f32 int8 tile scales
+    ks: jnp.ndarray | None = None,  # [L, B, NT, H, TT] f32 key scales
+    vs: jnp.ndarray | None = None,  # [L, B, NT, H, TT] f32 value scales
     beams: int = 1,
     ta_total: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """One fused decoder-layer tail -> new hidden [N, 1, D]."""
+    """One fused decoder-layer tail -> new hidden [N, 1, D].
+
+    int8 variants (each independent): pass `pack_tail_weights(quantize=
+    True)`'s w8/ws as tail_w/tail_ws to stream the weight tiles quantized;
+    pass `tile_quantize_cross_kv` payloads + scales as k5/v5/ks/vs to
+    stream the cross cache quantized (same math as
+    `pallas_attn._flash_kernel_q8`)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if ta_total is None:
         ta_total = k5.shape[2] * k5.shape[5]
+    wq = tail_w.dtype == jnp.int8
+    kvq = k5.dtype == jnp.int8
+    if wq != (tail_ws is not None) or kvq != (ks is not None):
+        raise ValueError("int8 payloads and their scales must come together")
     N, _, D = x.shape
     L, B, NT, H, Dh, TT = k5.shape
     KQ = beams
@@ -568,19 +648,33 @@ def fused_tail_layer(
     soT = jnp.transpose(self_out[:, :, 0], (1, 2, 0))  # [H, Dh, N]
     l_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
+    kv_spec = pl.BlockSpec((1, 1, 1, H, Dh, TT),
+                           lambda b, t, l: (l[0], b, t, 0, 0, 0))
+    kv_scale_spec = pl.BlockSpec((1, 1, 1, H, TT),
+                                 lambda b, t, l: (l[0], b, t, 0, 0))
+    in_specs = [
+        pl.BlockSpec((D, N), lambda b, t, l: (0, 0)),
+        pl.BlockSpec((H, Dh, N), lambda b, t, l: (0, 0, 0)),
+        pl.BlockSpec((1, SMALL_ROWS + 4, D), lambda b, t, l: (l[0], 0, 0)),
+    ]
+    operands = [xT, soT, tail_b]
+    if wq:
+        in_specs.append(
+            pl.BlockSpec((1, NTOT, TW), lambda b, t, l: (l[0], 0, 0)))
+        operands.append(tail_ws)
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    operands.append(tail_w)
+    if kvq:
+        in_specs += [kv_spec, kv_scale_spec, kv_spec, kv_scale_spec]
+        operands += [k5, ks, v5, vs]
+    else:
+        in_specs += [kv_spec, kv_spec]
+        operands += [k5, v5]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, NT),
-        in_specs=[
-            pl.BlockSpec((D, N), lambda b, t, l: (0, 0)),
-            pl.BlockSpec((H, Dh, N), lambda b, t, l: (0, 0, 0)),
-            pl.BlockSpec((1, SMALL_ROWS + 4, D), lambda b, t, l: (l[0], 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, 1, H, Dh, TT),
-                         lambda b, t, l: (l[0], b, t, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 1, H, Dh, TT),
-                         lambda b, t, l: (l[0], b, t, 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((D, N), lambda b, t, l: (0, 0)),
         scratch_shapes=[
             pltpu.VMEM((N_SLOTS, D, TW), tail_w.dtype),  # weight tiles
@@ -596,10 +690,10 @@ def fused_tail_layer(
     outT = pl.pallas_call(
         functools.partial(
             _tail_kernel, D, TW, n_d, n4, KQ, H, Dh, TT, int(ta_total),
-            scale),
+            scale, wq, kvq),
         out_shape=jax.ShapeDtypeStruct((D, N), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
-    )(l_arr, xT, soT, tail_b, tail_w, k5, v5)
+    )(l_arr, *operands)
     return outT.T[:, None, :]

@@ -174,12 +174,18 @@ class TranscribeStep:
             from .ops.pallas_tail import (
                 megakernels_supported, pack_tail_weights)
 
-            if megakernels_supported(cfg.n_text_state, cfg.n_text_head):
+            if megakernels_supported(
+                cfg.n_text_state, cfg.n_text_head,
+                wq=self.dc.quantize_tail_weights,
+                kvq=self.dc.quantize_cross_kv,
+            ):
                 self.params = {
                     **self.params,
                     "decoder": {
                         **self.params["decoder"],
-                        "tail": pack_tail_weights(self.params, cfg),
+                        "tail": pack_tail_weights(
+                            self.params, cfg,
+                            quantize=self.dc.quantize_tail_weights),
                     },
                 }
         self._encode = jax.jit(lambda p, m: wm.encode(p, m, cfg))
