@@ -406,6 +406,39 @@ def test_greedy_decode_tail_q8_weights_parity():
     np.testing.assert_array_equal(np.asarray(r0.tokens), np.asarray(r1.tokens))
 
 
+def test_tail_pack_attach_policy():
+    """TranscribeStep attaches the megakernel pack per the TPU gate
+    verdicts: fp greedy -> bf16 pack; int8 cross-KV -> NO pack (the plain
+    q8 flash path measured faster); int8 cross-KV + explicit int8 weight
+    tiles -> q8 pack; beam strategy -> never (HBM)."""
+    from whisper_diarize_tpu.ops import decode as dec
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+    from whisper_diarize_tpu.transcribe import TranscribeStep
+
+    cfg = wm.WhisperConfig(
+        n_mels=8, n_vocab=51865, n_audio_ctx=32, n_audio_state=32,
+        n_audio_head=4, n_audio_layer=1, n_text_ctx=64, n_text_state=32,
+        n_text_head=4, n_text_layer=2,
+    )
+    params = wm.init_params(cfg, seed=41)
+    tk = DebugTokenizer()
+
+    def step(strategy="greedy", **kw):
+        dc = dec.DecodeConfig(
+            max_tokens=8, blank_id=32, pallas_cross=True, pallas_tail=True,
+            **kw)
+        return TranscribeStep(
+            params, cfg, tk, decode_config=dc, strategy=strategy,
+            enable_dtw=False)
+
+    assert "tail" in step().params["decoder"]
+    assert "w" in step().params["decoder"]["tail"]
+    assert "tail" not in step(quantize_cross_kv=True).params["decoder"]
+    q = step(quantize_cross_kv=True, quantize_tail_weights=True)
+    assert q.params["decoder"]["tail"]["w8"].dtype == jnp.int8
+    assert "tail" not in step(strategy="beam_search").params["decoder"]
+
+
 def test_pack_tail_weights_tile_layout():
     cfg = wm.WhisperConfig(
         n_mels=8, n_vocab=64, n_audio_ctx=32, n_audio_state=32,

@@ -203,6 +203,13 @@ class EngineConfig:
     # (falls back to plain greedy otherwise).
     draft_model_path: Optional[str] = None
     speculative_gamma: int = 4
+    # int8 cross-K/V decode cache (quality knob, default off — exact fp
+    # math otherwise): per-position symmetric int8 with the scales folded
+    # inside the flash decode kernel. Measured large-v3 b16 on v5e:
+    # greedy steps 9.7 -> 7.6 ms (1.28x), beam-5 13.5 -> 11.2 ms (1.20x),
+    # and the cache's HBM residency halves (3.9 -> 2.0 GB). The TPU-native
+    # counterpart of running a quantized GGML checkpoint's KV path.
+    quantize_kv_cache: bool = False
     # Weight-ingestion policy for the VAD/diarization nets. The reference's
     # artifacts (`segmentation-3.0.onnx`, `wespeaker_en_voxceleb_CAM++.onnx`,
     # `ggml-silero-v5.1.2.bin`) are converted-and-cached on first use
@@ -327,12 +334,21 @@ class Engine:
             max_tokens=self.cfg.max_decode_tokens,
             blank_id=blank_id,
             pallas_cross=pallas_cross,
+            # int8 cross-KV rides the flash kernel's in-VMEM dequant; it is
+            # a no-win without the kernel (XLA cannot fuse the dequant), so
+            # gate it on pallas_cross
+            quantize_cross_kv=bool(self.cfg.quantize_kv_cache and pallas_cross),
             # under a mesh the kernel runs per shard via shard_map (batch
             # rows over the data axis, heads over the model axis) — the
             # mesh path keeps the flash-decode win instead of falling back
             # to the XLA cross-KV stream
             mesh=mesh if pallas_cross else None,
         )
+        if self.cfg.quantize_kv_cache and not pallas_cross:
+            logger.warning(
+                "quantize_kv_cache=True needs the Pallas flash decode "
+                "kernel (TPU backend, WDT_DISABLE_PALLAS_ATTN unset) — "
+                "decoding with the exact fp cache instead")
         draft = None
         if self.cfg.draft_model_path:
             if (self.cfg.mesh_shape is None and strategy == "greedy"

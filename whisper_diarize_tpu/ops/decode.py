@@ -261,8 +261,12 @@ def build_cross_cache(
     """
     if dc.pallas_cross and dc.quantize_cross_kv:
         # int8 payloads dequantized INSIDE the flash kernel (~55% of the
-        # bf16 stream); without the kernel, int8 stays a memory-only option
-        return wm.tile_quantize_cross_cache(wm.cross_kv(params, xa, cfg))
+        # bf16 stream); without the kernel, int8 stays a memory-only option.
+        # Build tiled-first (the probe-gated build kernel) and quantize in
+        # the tiled layout — the plain-layout detour cost ~135 ms extra
+        # prefill on large-v3 b16.
+        return wm.quantize_tiled_cross_cache(
+            wm.cross_kv_tiled(params, xa, cfg, mesh=dc.mesh))
     if dc.quantize_cross_kv:
         return wm.quantize_cross_kv(wm.cross_kv(params, xa, cfg))
     if dc.pallas_cross:

@@ -157,20 +157,29 @@ class TranscribeStep:
 
             self.params = shard_params(self.params, mesh)
             self._suppress = jax.device_put(self._suppress, replicate(mesh))
-        elif dec._resolve_pallas_tail(self.dc) and strategy != "beam_search":
+        elif (
+            dec._resolve_pallas_tail(self.dc) and strategy != "beam_search"
+            and (self.dc.quantize_tail_weights
+                 or not self.dc.quantize_cross_kv)
+        ):
             # fused decoder-tail megakernel: pre-pack the tail projection
             # weights once per model load (`ops/pallas_tail.py`); the pack
             # rides inside the params pytree so the jitted decode loops
             # need no extra plumbing, and decode_step engages the kernel
-            # only on single-token steps over the bf16 tiled cross cache.
+            # only on single-token steps over the tiled cross cache.
             # A one-time probe compiles the kernels at production geometry
             # first — a Mosaic lowering failure falls back to the un-fused
             # path with a warning instead of killing the transcription.
-            # TPU gate verdict (tools/bench_megakernel.py, large-v3 b16):
-            # tail KEEP on greedy (9.895 -> 9.723 ms/step); the front
-            # kernel lost (9.935) and is not attached; beam-5 with the
-            # ~2 GB pack resident OOMs v5e HBM on top of the split beam
-            # cache, hence the strategy guard.
+            # TPU gate verdicts (tools/bench_megakernel.py +
+            # bench_quant_kv.py, large-v3 b16): tail KEEP on fp greedy
+            # (9.86 -> 9.84 ms/step); the front kernel lost (9.95) and is
+            # not attached; beam-5 with the ~2 GB pack resident OOMs v5e
+            # HBM on top of the split beam cache, hence the strategy
+            # guard. With int8 cross-KV the PLAIN flash path wins (q8kv
+            # 7.64 vs q8kv+tail 7.76 vs q8(kv+w)+tail 7.78), so the pack
+            # is skipped under quantize_cross_kv unless the caller opts
+            # into int8 weight tiles (the small-batch lever: at b<=4 the
+            # weight stream, not the cross cache, dominates a step).
             from .ops.pallas_tail import (
                 megakernels_supported, pack_tail_weights)
 
