@@ -207,6 +207,47 @@ def test_sharded_decode_dp_tp_close():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_decode_q8_cross_kv():
+    """int8 cross-KV on the dp x tp mesh (quantize is elementwise so GSPMD
+    shards it; the q8 flash kernel shard_maps like the bf16 one): tokens
+    must match the single-device q8 decode."""
+    import jax.numpy as jnp
+
+    from whisper_diarize_tpu.ops import decode as dec
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+
+    cfg = _tiny_cfg()
+    params = wm.init_params(cfg, seed=9)
+    tk = DebugTokenizer(num_languages=99)
+    sp = tk.specials
+    B = 4
+    rng = np.random.default_rng(10)
+    xa = jnp.asarray(rng.standard_normal((B, 1500, 64)), jnp.float32)
+    prompt = jnp.asarray(
+        np.tile(np.array(tk.sot_sequence(language="en"), np.int32), (B, 1))
+    )
+    dc_ref = dec.DecodeConfig(
+        max_tokens=10, blank_id=32, pallas_cross=True, quantize_cross_kv=True)
+    ref = dec.greedy_decode(params, cfg, dc_ref, sp, xa, prompt, prompt.shape[1])
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    dc = dec.DecodeConfig(
+        max_tokens=10, blank_id=32, pallas_cross=True, quantize_cross_kv=True,
+        mesh=mesh)
+    params_sh = shard_params(params, mesh)
+    xa_sh = jax.device_put(xa, data_sharding(mesh, 3))
+    prompt_sh = jax.device_put(prompt, data_sharding(mesh, 2))
+    out = dec.greedy_decode(
+        params_sh, cfg, dc, sp, xa_sh, prompt_sh, prompt.shape[1]
+    )
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+    np.testing.assert_allclose(
+        np.asarray(out.avg_logprob), np.asarray(ref.avg_logprob),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_engine_mesh_path_matches_single_device(tmp_path):
     """The Engine's mesh= path (EngineConfig.mesh_shape) must produce the
     same cues as the single-device engine."""

@@ -124,7 +124,7 @@ def main() -> None:
         # greedy's production default is fp+tail; the quantized ladder
         # keeps the tail kernel in (it folds the scales in VMEM). Beam
         # cannot hold the pack (HBM), so its ladder is pack-free.
-        variants = (("fp", "tail", "q8kv+tail", "q8all+tail")
+        variants = (("fp", "tail", "q8kv", "q8kv+tail", "q8all+tail")
                     if mode == "greedy" else ("fp", "q8kv"))
         for variant in variants:
             out = subprocess.run(
