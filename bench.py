@@ -123,6 +123,19 @@ def bench_config(model: str, *, beam: int = 1, diarize: bool = False,
             wm.alignment_cross_attn(p, cfg, t, xa, heads), nf, nr
         )
     )
+    # default path: cost reduction + DTW DP + backtrack all on device; only
+    # [B, N] i32 anchor frames are fetched (WDT_HOST_DTW=1 benches the
+    # fetched-cost + host-DP fallback instead)
+    align_anchors = jax.jit(
+        lambda p, t, xa, nf, nr, nt, sl: dtw_ops.dtw_anchor_frames_batch(
+            dtw_ops.alignment_cost_batch(
+                wm.alignment_cross_attn(p, cfg, t, xa, heads), nf, nr
+            ),
+            nt, nf, sl,
+        ),
+        static_argnums=(6,),
+    )
+    host_dtw = os.environ.get("WDT_HOST_DTW", "") == "1"
 
     if diarize:
         from whisper_diarize_tpu.models import campplus
@@ -145,15 +158,23 @@ def bench_config(model: str, *, beam: int = 1, diarize: bool = False,
             n_rows = jnp.asarray(
                 np.minimum(sot.shape[1] + lens + 1, seq.shape[1]), jnp.int32
             )
-            cost = np.asarray(align_cost(params, seq, xa, n_frames, n_rows))
-            for b in range(BATCH):
-                n_tok = max(int(lens[b]), 1)
-                dtw_ops.anchor_times_from_cost(
-                    np.ascontiguousarray(
-                        cost[b][sot.shape[1]: sot.shape[1] + n_tok]
-                    ),
-                    n_tok,
-                )
+            if host_dtw:
+                cost = np.asarray(
+                    align_cost(params, seq, xa, n_frames, n_rows))
+                for b in range(BATCH):
+                    n_tok = max(int(lens[b]), 1)
+                    dtw_ops.anchor_times_from_cost(
+                        np.ascontiguousarray(
+                            cost[b][sot.shape[1]: sot.shape[1] + n_tok]
+                        ),
+                        n_tok,
+                    )
+            else:
+                n_tok = jnp.asarray(np.maximum(lens, 1), jnp.int32)
+                frames = np.asarray(align_anchors(
+                    params, seq, xa, n_frames, n_rows, n_tok, sot.shape[1]
+                ))  # [B, N] i32 — the only alignment bytes fetched
+                frames.astype(np.float64)
         if diarize:
             _sync(embs)
         _sync(res.tokens)

@@ -617,3 +617,73 @@ def test_speculative_draft_matches_plain(snapshot_dir, tmp_path, wav_path,
     cues_spec = eng_spec.transcribe_audio(wav_path, opts)
     assert calls["n"] > 0, "speculative path never engaged"
     assert [c.to_dict() for c in cues_spec] == [c.to_dict() for c in cues_plain]
+
+
+def test_dtw_device_backtrack_matches_host(snapshot_dir, tmp_path, monkeypatch):
+    """The fully on-device DTW path (DP + backtrack on chip, anchors-only
+    fetch) must produce the same cues and word spans as the fetched-cost +
+    host-DP path (WDT_HOST_DTW=1). Fixed seed -> deterministic costs, so
+    exact equality is stable (device scan-DP and host sequential DP agree
+    to the ULP on these inputs)."""
+    from whisper_diarize_tpu.audio import write_wav
+
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(16000 * 40) * 5000).astype(np.int16)
+    p = tmp_path / "dev_vs_host.wav"
+    write_wav(str(p), x)
+    opts = TranscribeOptions(enable_vad=False, lang="en")
+
+    def run():
+        eng = make_engine(snapshot_dir, tmp_path, enable_dtw=True,
+                          batch_size=1)
+        return eng.transcribe_audio(str(p), opts)
+
+    monkeypatch.setenv("WDT_HOST_DTW", "1")
+    host = run()
+    monkeypatch.delenv("WDT_HOST_DTW")
+    device = run()
+    assert len(host) == len(device)
+    for a, b in zip(host, device):
+        assert (a.start, a.end, a.text) == (b.start, b.end, b.text)
+        aw, bw = a.words or [], b.words or []
+        assert [(w.text, w.start, w.end) for w in aw] == [
+            (w.text, w.start, w.end) for w in bw]
+
+    # random weights may decode empty windows above; guarantee the anchor
+    # comparison really runs by repeating it at the step level with
+    # non-text tokens suppressed (deterministically non-empty spans)
+    from whisper_diarize_tpu.models import weights as wmod
+    from whisper_diarize_tpu.ops import decode as dec
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+    from whisper_diarize_tpu.transcribe import TranscribeStep
+    import jax.numpy as jnp
+
+    params, cfg = wmod.load_model(snapshot_dir)
+    tk = DebugTokenizer()
+    step = TranscribeStep(
+        params, cfg, tk, enable_dtw=True,
+        decode_config=dec.DecodeConfig(
+            max_tokens=16, blank_id=32, with_timestamps=False
+        ),
+        strategy="greedy",
+    )
+    printable = set(range(33, 127))
+    extra = [i for i in range(cfg.n_vocab) if i not in printable]
+    step._suppress = jnp.asarray(
+        dec.build_suppress_mask(tk.specials, cfg.n_vocab, extra)
+    )
+    rng = np.random.default_rng(0)
+    n = 16000 * 3
+    audio = np.zeros((2, 480000), np.float32)
+    audio[:, :n] = rng.standard_normal((2, n)).astype(np.float32) * 0.1
+    xa = step.encode(step.mel(audio))
+    res = step.decode(xa, "en", "transcribe")
+    assert (np.asarray(res.lengths) > 0).all()
+    anchors_dev = step.start_alignment(res, xa, [n, n], translated=False)()
+    monkeypatch.setenv("WDT_HOST_DTW", "1")
+    anchors_host = step.start_alignment(res, xa, [n, n], translated=False)()
+    monkeypatch.delenv("WDT_HOST_DTW")
+    for dv, hs in zip(anchors_dev, anchors_host):
+        assert (dv is None) == (hs is None)
+        if dv is not None:
+            np.testing.assert_allclose(dv, hs, rtol=0, atol=0)

@@ -209,6 +209,79 @@ def alignment_cost_batch(
     return -jnp.mean(w, axis=1)  # [B, S, Ta]
 
 
+@functools.partial(jax.jit, static_argnames=("sot_len",))
+def dtw_anchor_frames_batch(
+    cost: jnp.ndarray,  # [B, S, Ta] alignment_cost_batch output
+    n_tok: jnp.ndarray,  # [B] sampled text tokens per row (DP rows)
+    n_frames: jnp.ndarray,  # [B] valid encoder frames per row
+    sot_len: int,
+) -> jnp.ndarray:
+    """Batched DTW DP + backtrack FULLY on device → anchor frames [B, N] i32.
+
+    anchors[b, r] = first audio frame whose path cell enters text-token row
+    r (the "jump" rule of `anchor_times_from_cost`) for the submatrix
+    cost[b, sot_len : sot_len + n_tok[b], : n_frames[b]] — exactly the
+    slice the host path feeds `dtw_path`. Rows >= n_tok are unvisited and
+    read 0.
+
+    With the cost matrix already reduced on device
+    (`alignment_cost_batch`), running the DP (associative min-plus scan,
+    `dtw_cost_matrix`) and the O(N+M) backtrack (a `lax.scan` pointer walk
+    over the accumulated-cost matrix) on device means only [B, N] i32
+    anchors (~KBs) ever cross the host link instead of the [B, S, Ta] f32
+    cost matrix (~MBs) — on a tunneled/PCIe-remote TPU the fetch dominates
+    the host DP. Tie-breaking matches the host walk exactly (diagonal,
+    then up, then left; `native/wdt_native.cpp::dtw_full`).
+    """
+    B, S, Ta = cost.shape
+    N = S - sot_len
+    x = cost[:, sot_len:, :].astype(jnp.float32)
+    n_tok = jnp.clip(n_tok.astype(jnp.int32), 1, N)  # [B]
+    nf = jnp.maximum(n_frames.astype(jnp.int32), 1)
+    # zero garbage cells (rows >= n_tok / cols >= n_frames): the DP
+    # recurrence only ever pulls from up/left, so valid cells never read
+    # them, but NaNs there would poison the row prefix scans
+    rows_ok = jnp.arange(N)[None, :, None] < n_tok[:, None, None]
+    cols_ok = jnp.arange(Ta)[None, None, :] < nf[:, None, None]
+    x = jnp.where(rows_ok & cols_ok, x, 0.0)
+    c = jax.vmap(dtw_cost_matrix)(x)  # [B, N, Ta]
+
+    def walk(cb, nt, nfb):  # cb [N, Ta]
+        def step(carry, _):
+            i, j, anchors = carry
+            # record BEFORE moving: the backward walk visits each path cell
+            # once, overwriting each row's anchor with ever-smaller j — the
+            # final value is the row's first-entered frame
+            anchors = anchors.at[i].set(j)
+            at_top = i == 0
+            at_left = j == 0
+            done = at_top & at_left
+            im = jnp.maximum(i - 1, 0)
+            jm = jnp.maximum(j - 1, 0)
+            s = jax.lax.dynamic_slice(cb, (im, jm), (2, 2))
+            inf = jnp.float32(jnp.inf)
+            diag = jnp.where(at_top | at_left, inf, s[0, 0])
+            up = jnp.where(
+                at_top, inf, jnp.where(at_left, s[0, 0], s[0, 1]))
+            left = jnp.where(
+                at_left, inf, jnp.where(at_top, s[0, 0], s[1, 0]))
+            take_diag = (diag <= up) & (diag <= left)
+            take_up = (~take_diag) & (up <= left)
+            ni = jnp.where(take_diag | take_up, i - 1, i)
+            nj = jnp.where(take_diag | ~take_up, j - 1, j)
+            ni = jnp.where(done, 0, ni)
+            nj = jnp.where(done, 0, nj)
+            return (ni, nj, anchors), None
+
+        init = (nt - 1, nfb - 1, jnp.zeros((N,), jnp.int32))
+        # path length <= nt + nfb - 1 <= N + Ta - 1; one extra step records
+        # the terminal (0, 0) cell
+        (_, _, anchors), _ = jax.lax.scan(step, init, None, length=N + Ta)
+        return anchors
+
+    return jax.vmap(walk)(c, n_tok, nf)
+
+
 def token_anchor_times(
     qk: np.ndarray,  # [K, S, Ta] scaled QK logits
     n_frames: int,

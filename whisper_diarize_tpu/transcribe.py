@@ -20,6 +20,7 @@ timestamp layer on top of the JAX model/decode/DTW ops:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -208,6 +209,19 @@ class TranscribeStep:
             lambda p, t, xa, nf, nr: dtw_ops.alignment_cost_batch(
                 wm.alignment_cross_attn(p, cfg, t, xa, self.heads), nf, nr
             )
+        )
+        # fully on-device alignment: cost reduction + DTW DP + backtrack in
+        # one dispatch; only [B, N] i32 anchor frames cross the host link
+        # (WDT_HOST_DTW=1 falls back to the fetched-cost + host-DP path)
+        self._align_anchors = jax.jit(
+            lambda p, t, xa, nf, nr, nt, sl: dtw_ops.dtw_anchor_frames_batch(
+                dtw_ops.alignment_cost_batch(
+                    wm.alignment_cross_attn(p, cfg, t, xa, self.heads),
+                    nf, nr,
+                ),
+                nt, nf, sl,
+            ),
+            static_argnums=(6,),
         )
         sot_id = self.sp.sot
         self._detect = jax.jit(
@@ -514,11 +528,35 @@ class TranscribeStep:
         n_rows_arr = np.minimum(
             len(sot) + lengths.astype(np.int32) + 1, seq.shape[1]
         )
+        sot_len = len(sot)
+        if os.environ.get("WDT_HOST_DTW", "") != "1":
+            # device path: DP + backtrack on chip, fetch only [B, N] anchor
+            # frames (~KBs) instead of the [B, S, Ta] f32 cost (~MBs)
+            frames_dev = self._align_anchors(
+                self.params, jnp.asarray(seq), xa,
+                jnp.asarray(n_frames_arr), jnp.asarray(n_rows_arr),
+                jnp.asarray(lengths.astype(np.int32)), sot_len,
+            )
+
+            def backtrack_dev() -> List[Optional[np.ndarray]]:
+                frames = np.asarray(frames_dev)  # tiny host fetch
+                anchors_all: List[Optional[np.ndarray]] = [None] * B
+                for b in range(B):
+                    n_tok = int(lengths[b])
+                    if n_tok == 0:
+                        continue
+                    anchors_all[b] = (
+                        frames[b, :n_tok].astype(np.float64)
+                        * dtw_ops.FRAME_SECONDS
+                    )
+                return anchors_all
+
+            return backtrack_dev
+
         cost_dev = self._align_cost(
             self.params, jnp.asarray(seq), xa,
             jnp.asarray(n_frames_arr), jnp.asarray(n_rows_arr),
         )
-        sot_len = len(sot)
 
         def backtrack() -> List[Optional[np.ndarray]]:
             cost = np.asarray(cost_dev)  # host fetch (worker thread)
