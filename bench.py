@@ -171,10 +171,9 @@ def bench_config(model: str, *, beam: int = 1, diarize: bool = False,
                     )
             else:
                 n_tok = jnp.asarray(np.maximum(lens, 1), jnp.int32)
-                frames = np.asarray(align_anchors(
+                np.asarray(align_anchors(
                     params, seq, xa, n_frames, n_rows, n_tok, sot.shape[1]
                 ))  # [B, N] i32 — the only alignment bytes fetched
-                frames.astype(np.float64)
         if diarize:
             _sync(embs)
         _sync(res.tokens)

@@ -116,8 +116,22 @@ def parity_silero(jit_path: str) -> bool:
             ref.append(float(model(chunk, 16000).item()))
     ref = np.array(ref)
 
-    ours = np.asarray(sv.speech_probs(params, audio[None]))[0]
-    return _report("silero.probs", float(np.abs(ours - ref).max()), 5e-3)
+    # A/B the documented STFT pad-convention risk (docs/PARITY.md): run
+    # BOTH candidate conventions against the executed upstream binary in
+    # one command; the matching one is the verdict to pin.
+    results = {}
+    for pad_mode in ("left", "both", "zero"):
+        ours = np.asarray(sv.speech_probs(params, audio[None],
+                                          pad_mode=pad_mode))[0]
+        results[pad_mode] = _report(
+            f"silero.probs[stft_pad={pad_mode}]",
+            float(np.abs(ours - ref).max()), 5e-3)
+    winner = [k for k, v in results.items() if v]
+    print(f"[silero] STFT pad convention verdict: "
+          f"{winner[0] if winner else 'NEITHER — investigate'}"
+          + (" (pin via WDT_SILERO_STFT_PAD / speech_probs(pad_mode=...))"
+             if winner else ""))
+    return any(results.values())
 
 
 def parity_pyannote(ckpt: str) -> bool:
@@ -145,8 +159,20 @@ def parity_pyannote(ckpt: str) -> bool:
     audio = (rng.standard_normal((1, seg.WINDOW_SAMPLES)) * 0.3).astype(np.float32)
     with torch.no_grad():
         ref = net(torch.tensor(audio).unsqueeze(1)).numpy()
-    ours = np.asarray(seg.forward(params, audio))
-    return _report("pyannote.logprobs", float(np.abs(ours - ref).max()), 5e-3)
+    # A/B the documented SincNet window-shape risk (docs/PARITY.md): both
+    # candidate hamming-ramp conventions vs the real checkpoint in one run.
+    results = {}
+    for win in ("sincnet", "torch", "hann"):
+        ours = np.asarray(seg.forward(params, audio, sinc_window=win))
+        results[win] = _report(
+            f"pyannote.logprobs[sinc_window={win}]",
+            float(np.abs(ours - ref).max()), 5e-3)
+    winner = [k for k, v in results.items() if v]
+    print(f"[pyannote] SincNet window verdict: "
+          f"{winner[0] if winner else 'NEITHER — investigate'}"
+          + (" (pin via WDT_SINC_WINDOW / forward(sinc_window=...))"
+             if winner else ""))
+    return any(results.values())
 
 
 def parity_campplus(ckpt: str) -> bool:

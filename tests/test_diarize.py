@@ -22,6 +22,38 @@ def test_segmentation_forward_shapes():
     np.testing.assert_allclose(np.exp(lp).sum(-1), 1.0, atol=1e-5)
 
 
+def test_segmentation_sinc_window_toggle(monkeypatch):
+    """The SincNet hamming-ramp convention is an explicit A/B toggle
+    (VERDICT r3 item 9, docs/PARITY.md): both variants run with identical
+    shapes, different numbers; env override selects the variant."""
+    params = segmentation.init_params(0)
+    audio = (np.random.default_rng(2)
+             .standard_normal((1, segmentation.WINDOW_SAMPLES)) * 0.1
+             ).astype(np.float32)
+    lp_s = np.asarray(segmentation.forward(params, audio,
+                                           sinc_window="sincnet"))
+    lp_t = np.asarray(segmentation.forward(params, audio,
+                                           sinc_window="torch"))
+    lp_h = np.asarray(segmentation.forward(params, audio,
+                                           sinc_window="hann"))
+    assert lp_s.shape == lp_t.shape == lp_h.shape
+    # the two hamming-ramp samplings nearly coincide (documented in
+    # _sinc_kernel): a sincnet-vs-torch mismatch cannot explain a parity
+    # failure on its own
+    np.testing.assert_allclose(lp_s, lp_t, rtol=0, atol=1e-2)
+    # the hann family genuinely differs
+    assert not np.allclose(lp_s, lp_h)
+    np.testing.assert_array_equal(
+        np.asarray(segmentation.forward(params, audio)), lp_s)  # default
+    monkeypatch.setenv("WDT_SINC_WINDOW", "hann")
+    np.testing.assert_array_equal(
+        np.asarray(segmentation.forward(params, audio)), lp_h)
+    import pytest
+
+    with pytest.raises(ValueError, match="window_mode"):
+        segmentation.forward(params, audio, sinc_window="blackman")
+
+
 def test_powerset_to_activity():
     lp = np.full((1, 4, 7), -10.0)
     lp[0, 0, 0] = 0.0  # silence

@@ -622,9 +622,11 @@ def test_speculative_draft_matches_plain(snapshot_dir, tmp_path, wav_path,
 def test_dtw_device_backtrack_matches_host(snapshot_dir, tmp_path, monkeypatch):
     """The fully on-device DTW path (DP + backtrack on chip, anchors-only
     fetch) must produce the same cues and word spans as the fetched-cost +
-    host-DP path (WDT_HOST_DTW=1). Fixed seed -> deterministic costs, so
-    exact equality is stable (device scan-DP and host sequential DP agree
-    to the ULP on these inputs)."""
+    host-DP path (WDT_HOST_DTW=1). Device scan-DP and host sequential DP
+    group f32 sums differently, so near-tied accumulated costs can flip a
+    backtrack tie-break and shift an anchor by ONE frame (20 ms) — the
+    comparison allows exactly that (`ops/dtw.py::dtw_anchor_frames_batch`
+    ULP-divergence caveat); text must still match exactly."""
     from whisper_diarize_tpu.audio import write_wav
 
     rng = np.random.default_rng(5)
@@ -642,12 +644,17 @@ def test_dtw_device_backtrack_matches_host(snapshot_dir, tmp_path, monkeypatch):
     host = run()
     monkeypatch.delenv("WDT_HOST_DTW")
     device = run()
+    FRAME = 0.02  # one DTW frame; + rounding slack for the 3-dp cue times
     assert len(host) == len(device)
     for a, b in zip(host, device):
-        assert (a.start, a.end, a.text) == (b.start, b.end, b.text)
+        assert a.text == b.text
+        assert abs(a.start - b.start) <= FRAME + 1e-3
+        assert abs(a.end - b.end) <= FRAME + 1e-3
         aw, bw = a.words or [], b.words or []
-        assert [(w.text, w.start, w.end) for w in aw] == [
-            (w.text, w.start, w.end) for w in bw]
+        assert [w.text for w in aw] == [w.text for w in bw]
+        for wa, wb in zip(aw, bw):
+            assert abs(wa.start - wb.start) <= FRAME + 1e-3
+            assert abs(wa.end - wb.end) <= FRAME + 1e-3
 
     # random weights may decode empty windows above; guarantee the anchor
     # comparison really runs by repeating it at the step level with
@@ -686,4 +693,4 @@ def test_dtw_device_backtrack_matches_host(snapshot_dir, tmp_path, monkeypatch):
     for dv, hs in zip(anchors_dev, anchors_host):
         assert (dv is None) == (hs is None)
         if dv is not None:
-            np.testing.assert_allclose(dv, hs, rtol=0, atol=0)
+            np.testing.assert_allclose(dv, hs, rtol=0, atol=FRAME + 1e-9)

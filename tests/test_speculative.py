@@ -132,6 +132,21 @@ def test_sim_accept_round_structure(setup):
     assert rounds[0.5] > rounds[1.0]
 
 
+def test_temperature_rejected(setup):
+    """speculative_greedy_run is argmax-only: a non-zero sampling
+    temperature must be rejected loudly, not silently ignored (ADVICE r2)."""
+    params, xa, tk, prompt, dc, mel, ref = setup
+    import dataclasses
+
+    dc_temp = dataclasses.replace(dc, temperature=0.7)
+    with pytest.raises(ValueError, match="temperature"):
+        spec.speculative_greedy_run(
+            params, TINY_TEST_CFG, params, TINY_TEST_CFG, dc_temp,
+            tk.specials, xa, xa, prompt, prompt.shape[1],
+            jnp.asarray(dec.build_suppress_mask(
+                tk.specials, TINY_TEST_CFG.n_vocab)))
+
+
 def test_cancellation_polls_between_round_budgets(setup):
     """With is_cancelled set, the round loop re-enters in poll_rounds
     budget windows and a cancel stops it early (ADVICE r2: the fused

@@ -23,6 +23,33 @@ def test_speech_probs_shapes():
     assert ((p >= 0) & (p <= 1)).all()
 
 
+def test_speech_probs_pad_mode_toggle(monkeypatch):
+    """The Silero STFT pad convention is an explicit A/B toggle (VERDICT r3
+    item 9, docs/PARITY.md): both variants run, produce the same shapes,
+    genuinely different numbers, and the env override selects the variant."""
+    params = silero_vad.init_params(0)
+    audio = (np.random.default_rng(1).standard_normal((1, SR)) * 0.1
+             ).astype(np.float32)
+    p_left = np.asarray(silero_vad.speech_probs(params, audio, pad_mode="left"))
+    p_both = np.asarray(silero_vad.speech_probs(params, audio, pad_mode="both"))
+    p_zero = np.asarray(silero_vad.speech_probs(params, audio, pad_mode="zero"))
+    assert p_left.shape == p_both.shape == p_zero.shape
+    # left-vs-both reflect pads are OUTPUT-IDENTICAL at this geometry (the
+    # 4 frames never read the right pad) — pinning this documents that a
+    # left/both upstream mismatch cannot cause a parity failure
+    np.testing.assert_array_equal(p_left, p_both)
+    # zero- vs reflect-pad genuinely changes frame 0
+    assert not np.allclose(p_left, p_zero)
+    # default == "left"; env override picks "zero"
+    np.testing.assert_array_equal(
+        np.asarray(silero_vad.speech_probs(params, audio)), p_left)
+    monkeypatch.setenv("WDT_SILERO_STFT_PAD", "zero")
+    np.testing.assert_array_equal(
+        np.asarray(silero_vad.speech_probs(params, audio)), p_zero)
+    with pytest.raises(ValueError, match="pad_mode"):
+        silero_vad.speech_probs(params, audio, pad_mode="center")
+
+
 def test_speech_probs_stateful():
     """LSTM state carries across chunks: identical chunks early vs late in a
     changing stream should not produce identical probabilities."""

@@ -79,21 +79,23 @@ def worker(model: str, batch: int, variant: str, mode: str) -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
+    # Re-init per measurement, exactly like production (init -> donated
+    # run). The previous tree.map(jnp.copy, state) pattern DOUBLED the
+    # tiled cross cache's residency (~+4 GB at large-v3 b16) and was what
+    # RESOURCE_EXHAUSTED the beam+tail arm — a tool artifact, not the
+    # product path. The init cost is identical across budgets, so the
+    # 32/64-step slope subtracts it out.
     if mode == "greedy":
-        state = dec.greedy_init(
-            params, cfg, dc, sp, xa, prompt, P, suppress_mask=suppress)
-
         def run(budget):
-            st = jax.tree.map(jnp.copy, state)
+            st = dec.greedy_init(
+                params, cfg, dc, sp, xa, prompt, P, suppress_mask=suppress)
             return dec.greedy_run(
                 params, cfg, dc, sp, st, suppress, P, jnp.int32(budget)
             )["tokens"][0, :2]
     else:
-        state = dec.beam_init(
-            params, cfg, dc, sp, xa, prompt, P, suppress_mask=suppress)
-
         def run(budget):
-            st = jax.tree.map(jnp.copy, state)
+            st = dec.beam_init(
+                params, cfg, dc, sp, xa, prompt, P, suppress_mask=suppress)
             return dec.beam_run(
                 params, cfg, dc, sp, st, suppress, P, jnp.int32(budget)
             )["tokens"][0, :2]

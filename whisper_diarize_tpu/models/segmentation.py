@@ -142,16 +142,35 @@ MIN_LOW_HZ = 50.0
 MIN_BAND_HZ = 50.0
 
 
-def _sinc_kernel(low_hz: jnp.ndarray, band_hz: jnp.ndarray) -> jnp.ndarray:
+def _sinc_kernel(
+    low_hz: jnp.ndarray, band_hz: jnp.ndarray, window_mode: str = "sincnet"
+) -> jnp.ndarray:
     """Materialize band-pass sinc filters [SINC_KERNEL, 1, SINC_FILTERS].
 
     Exact SincNet / asteroid ParamSincFB construction: low = min_low + |low|,
     high = clip(low + min_band + |band|, min_low, Nyquist); the left half is
-    (sin(2π·f_hi·t) − sin(2π·f_lo·t))/(πt) windowed by the classic SincNet
-    hamming ramp, the center tap is the UNWINDOWED 2·band, the right half
-    mirrors the left; the filter is normalized by 1/(2·band) (the scale
-    cancels in the affine InstanceNorm that follows abs+maxpool, but the
-    shape must match the upstream trained weights)."""
+    (sin(2π·f_hi·t) − sin(2π·f_lo·t))/(πt) windowed by a hamming half-window,
+    the center tap is the UNWINDOWED 2·band, the right half mirrors the
+    left; the filter is normalized by 1/(2·band) (the scale cancels in the
+    affine InstanceNorm that follows abs+maxpool, but the shape must match
+    the upstream trained weights).
+
+    RESIDUAL-RISK TOGGLE (VERDICT r3 item 9 / docs/PARITY.md): the upstream
+    ONNX/torch binary has never been executed here, and the window shape
+    comes from documented SincNet reimplementations. `window_mode` selects
+    it so `evals/parity.py pyannote` can A/B every candidate against the
+    real checkpoint in one command:
+      "sincnet" (default) — the original SincNet hamming ramp
+        0.54 - 0.46*cos(2π·linspace(0, K/2-1, half)/K);
+      "torch" — the left half of torch.hamming_window(K, periodic=False):
+        0.54 - 0.46*cos(2π·n/(K-1)). NOTE: measured within ~3e-5 of
+        "sincnet" (the two samplings nearly coincide —
+        `tests/test_diarize.py::test_segmentation_sinc_window_toggle`), so
+        a sincnet-vs-torch-hamming mismatch alone cannot explain a parity
+        failure; kept so the A/B documents that.
+      "hann" — a hann ramp 0.5 - 0.5*cos(...), the other window family
+        reimplementations reach for (genuinely different edge taps).
+    WDT_SINC_WINDOW overrides the default process-wide."""
     low = MIN_LOW_HZ + jnp.abs(low_hz)
     high = jnp.clip(
         low + MIN_BAND_HZ + jnp.abs(band_hz), MIN_LOW_HZ, SAMPLE_RATE / 2
@@ -159,8 +178,18 @@ def _sinc_kernel(low_hz: jnp.ndarray, band_hz: jnp.ndarray) -> jnp.ndarray:
     band = high - low
     half = (SINC_KERNEL - 1) // 2
     n_ = 2.0 * jnp.pi * jnp.arange(-half, 0) / SAMPLE_RATE  # [half] (= 2πt)
-    n_lin = jnp.linspace(0.0, SINC_KERNEL / 2 - 1, half)
-    window = 0.54 - 0.46 * jnp.cos(2.0 * jnp.pi * n_lin / SINC_KERNEL)
+    if window_mode == "sincnet":
+        n_lin = jnp.linspace(0.0, SINC_KERNEL / 2 - 1, half)
+        window = 0.54 - 0.46 * jnp.cos(2.0 * jnp.pi * n_lin / SINC_KERNEL)
+    elif window_mode == "torch":
+        n_lin = jnp.arange(half, dtype=jnp.float32)
+        window = 0.54 - 0.46 * jnp.cos(
+            2.0 * jnp.pi * n_lin / (SINC_KERNEL - 1))
+    elif window_mode == "hann":
+        n_lin = jnp.linspace(0.0, SINC_KERNEL / 2 - 1, half)
+        window = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n_lin / SINC_KERNEL)
+    else:
+        raise ValueError(f"unknown sinc window_mode: {window_mode!r}")
 
     f_lo = low[:, None] * n_[None, :]
     f_hi = high[:, None] * n_[None, :]
@@ -206,9 +235,25 @@ def _lstm_scan(p, x, reverse=False):
     return jnp.swapaxes(hs, 0, 1)
 
 
-@jax.jit
-def forward(params: Dict[str, Any], audio: jnp.ndarray) -> jnp.ndarray:
-    """audio [B, T] float32 in [-1, 1] -> log-probs [B, frames, 7]."""
+def forward(
+    params: Dict[str, Any], audio: jnp.ndarray,
+    sinc_window: str | None = None,
+) -> jnp.ndarray:
+    """audio [B, T] float32 in [-1, 1] -> log-probs [B, frames, 7].
+
+    `sinc_window` selects the SincNet hamming-ramp convention
+    (`_sinc_kernel`); None reads WDT_SINC_WINDOW (default "sincnet")."""
+    if sinc_window is None:
+        import os
+
+        sinc_window = os.environ.get("WDT_SINC_WINDOW", "sincnet")
+    return _forward(params, audio, sinc_window)
+
+
+@functools.partial(jax.jit, static_argnames=("sinc_window",))
+def _forward(
+    params: Dict[str, Any], audio: jnp.ndarray, sinc_window: str = "sincnet"
+) -> jnp.ndarray:
     if audio.ndim == 1:
         audio = audio[None]
     x = audio[:, :, None]  # [B, T, 1]
@@ -219,7 +264,7 @@ def forward(params: Dict[str, Any], audio: jnp.ndarray) -> jnp.ndarray:
     # low_hz/band_hz parameters the kernel is normally built from
     sinc = params["sinc"]
     k = (sinc["kernel"] if "kernel" in sinc
-         else _sinc_kernel(sinc["low_hz"], sinc["band_hz"]))
+         else _sinc_kernel(sinc["low_hz"], sinc["band_hz"], sinc_window))
     x = jax.lax.conv_general_dilated(
         x, k, window_strides=(SINC_STRIDE,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),

@@ -104,14 +104,39 @@ def load_params(path: str) -> Dict[str, Any]:
     return jax.tree.map(jnp.asarray, params)
 
 
-def _chunk_features(basis: jnp.ndarray, chunk_with_ctx: jnp.ndarray) -> jnp.ndarray:
+def _chunk_features(
+    basis: jnp.ndarray, chunk_with_ctx: jnp.ndarray, pad_mode: str = "left"
+) -> jnp.ndarray:
     """[B, CONTEXT+CHUNK] -> [B, N_FRAMES, N_BINS] magnitude STFT.
 
-    Reflect-pads 64 samples on the left (the upstream STFT module), frames
-    with hop 128 and applies the checkpoint's basis conv; rows split into
-    real/imag halves -> magnitude.
+    Reflect-pads 64 samples (the upstream STFT module), frames with hop 128
+    and applies the checkpoint's basis conv; rows split into real/imag
+    halves -> magnitude.
+
+    RESIDUAL-RISK TOGGLE (VERDICT r3 item 9 / docs/PARITY.md): the upstream
+    v5 TorchScript binary has never been executed here, and the pad
+    convention comes from documented reimplementations. `pad_mode` selects
+    it explicitly so `evals/parity.py silero` can A/B every candidate
+    against the real checkpoint in one command:
+      "left" (default) — ReflectionPad 64 on the left of [context ‖ chunk];
+      "both" — ReflectionPad1d(64) on BOTH sides. NOTE: proven output-
+               identical to "left" at this geometry (the 4 frames read
+               padded offsets 0/128/256/384, never the right pad —
+               `tests/test_vad.py::test_speech_probs_pad_mode_toggle`), so
+               a left-vs-both upstream mismatch CANNOT be the source of a
+               parity failure; kept so the A/B documents that.
+      "zero" — zero-pad 64 on the left (the other plausible mode).
+    WDT_SILERO_STFT_PAD overrides the default process-wide.
     """
-    x = jnp.pad(chunk_with_ctx, ((0, 0), (STFT_PAD, 0)), mode="reflect")
+    if pad_mode == "both":
+        x = jnp.pad(chunk_with_ctx, ((0, 0), (STFT_PAD, STFT_PAD)),
+                    mode="reflect")
+    elif pad_mode == "left":
+        x = jnp.pad(chunk_with_ctx, ((0, 0), (STFT_PAD, 0)), mode="reflect")
+    elif pad_mode == "zero":
+        x = jnp.pad(chunk_with_ctx, ((0, 0), (STFT_PAD, 0)))
+    else:
+        raise ValueError(f"unknown silero STFT pad_mode: {pad_mode!r}")
     idx = jnp.arange(N_FRAMES)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
     frames = x[:, idx]  # [B, F, N_FFT]
     spec = frames @ basis  # [B, F, 258]
@@ -141,10 +166,25 @@ def _lstm_cell(params, x, h, c):
     return h, c
 
 
-@jax.jit
-def speech_probs(params: Dict[str, Any], audio: jnp.ndarray) -> jnp.ndarray:
+def speech_probs(
+    params: Dict[str, Any], audio: jnp.ndarray, pad_mode: str | None = None
+) -> jnp.ndarray:
     """audio [B, T] float32 in [-1, 1] -> per-chunk speech probability
-    [B, ceil(T/512)] (the tail chunk is zero-padded)."""
+    [B, ceil(T/512)] (the tail chunk is zero-padded).
+
+    `pad_mode` selects the STFT pad convention (`_chunk_features`); None
+    reads WDT_SILERO_STFT_PAD (default "left")."""
+    if pad_mode is None:
+        import os
+
+        pad_mode = os.environ.get("WDT_SILERO_STFT_PAD", "left")
+    return _speech_probs(params, audio, pad_mode)
+
+
+@functools.partial(jax.jit, static_argnames=("pad_mode",))
+def _speech_probs(
+    params: Dict[str, Any], audio: jnp.ndarray, pad_mode: str = "left"
+) -> jnp.ndarray:
     if audio.ndim == 1:
         audio = audio[None]
     B, T = audio.shape
@@ -161,7 +201,7 @@ def speech_probs(params: Dict[str, Any], audio: jnp.ndarray) -> jnp.ndarray:
 
     def step(carry, xt):
         h, c = carry
-        feats = _chunk_features(basis, xt)  # xt [B, CONTEXT+CHUNK]
+        feats = _chunk_features(basis, xt, pad_mode)  # xt [B, CONTEXT+CHUNK]
         e = _encoder(params, feats)
         h, c = _lstm_cell(params["lstm"], e, h, c)
         # decoder head: Dropout(eval no-op) -> ReLU -> Conv1d(128->1) -> sigmoid

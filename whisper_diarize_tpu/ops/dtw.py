@@ -232,12 +232,23 @@ def dtw_anchor_frames_batch(
     cost matrix (~MBs) — on a tunneled/PCIe-remote TPU the fetch dominates
     the host DP. Tie-breaking matches the host walk exactly (diagonal,
     then up, then left; `native/wdt_native.cpp::dtw_full`).
+
+    ULP-divergence caveat (ADVICE r3): this path accumulates the min-plus
+    DP with an associative scan while the host fallback (WDT_HOST_DTW=1)
+    runs a sequential DP — f32 summation GROUPING differs, so accumulated
+    costs can differ by a few ULPs. Near-exact ties in the backtrack's
+    (diag <= up <= left) comparisons can then flip and shift an anchor by
+    one frame (20 ms). Equivalence tests against the host path therefore
+    use a <=1-frame tolerance rather than exact equality.
     """
     B, S, Ta = cost.shape
     N = S - sot_len
     x = cost[:, sot_len:, :].astype(jnp.float32)
     n_tok = jnp.clip(n_tok.astype(jnp.int32), 1, N)  # [B]
-    nf = jnp.maximum(n_frames.astype(jnp.int32), 1)
+    # clip like n_tok (ADVICE r3): n_frames > Ta would start the backtrack
+    # at an out-of-range column (dynamic_slice clamps silently) and record
+    # anchor frames >= Ta
+    nf = jnp.clip(n_frames.astype(jnp.int32), 1, Ta)
     # zero garbage cells (rows >= n_tok / cols >= n_frames): the DP
     # recurrence only ever pulls from up/left, so valid cells never read
     # them, but NaNs there would poison the row prefix scans
