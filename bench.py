@@ -6,8 +6,12 @@ north-star target is >= 100x real-time per v5e chip on large-v3):
   1. large-v3, batch 16, greedy 64 tokens  — the BASELINE headline config
   2. large-v3, batch 16, beam-5            — config 4 shape (long-form beam)
   3. large-v3-turbo, batch 16, greedy 64   — round-1 continuity row
-  4. large-v3-turbo + diarization, batch 16 — config 5: greedy + DTW
-     alignment pass + CAM++ speaker embeddings in the loop
+  4. large-v3-turbo + diarization, batch 16 — config 5 compute: greedy +
+     DTW alignment pass + CAM++ speaker embeddings in the loop
+  5. ENGINE-PATH config 5: Engine.transcribe_audio_batch over 16 WAV
+     streams — diarization branch, windows scheduler, pipelined DTW,
+     bounded frontend batches, per-stream formatting: what a user of the
+     product actually runs (VERDICT r3 Next #5)
 
 Each row reports **xRT**: audio-seconds transcribed per wall-clock second
 per chip; `vs_baseline` is the ratio to the 100x target.
@@ -202,19 +206,86 @@ def bench_config(model: str, *, beam: int = 1, diarize: bool = False,
     }
 
 
+def bench_engine_path(model: str = "large-v3-turbo", streams: int = 16,
+                      seconds: int = 30, iters: int = 3) -> dict:
+    """BASELINE config 5 through the PRODUCT path: 16 synthetic WAV streams
+    via `Engine.transcribe_audio_batch` — diarization (segmentation net +
+    CAM++ embeddings + clustering), the window scheduler, the pipelined-DTW
+    engine path and per-stream formatting all inside the measurement.
+
+    Random weights end decode after ~2 tokens (instant EOT), which would
+    make the row measure nothing — EOT is suppressed through the same
+    build_suppress_mask hook the compute rows use, so every window decodes
+    a realistic token budget."""
+    import tempfile
+
+    from whisper_diarize_tpu.audio import write_wav
+    from whisper_diarize_tpu.engine import Engine, EngineConfig
+    from whisper_diarize_tpu.types import AdvancedTranscribe, TranscribeOptions
+
+    orig_mask = dec.build_suppress_mask
+
+    def patched(sp, n_vocab, extra_suppress=None):
+        return orig_mask(sp, n_vocab, list(extra_suppress or []) + [sp.eot])
+
+    dec.build_suppress_mask = patched
+    try:
+        td = tempfile.mkdtemp(prefix="wdt_bench_")
+        rng = np.random.default_rng(0)
+        wavs = []
+        for i in range(streams):
+            x = (rng.standard_normal(16000 * seconds) * 6000).astype(np.int16)
+            p = os.path.join(td, f"s{i:02d}.wav")
+            write_wav(p, x)
+            wavs.append(p)
+
+        eng = Engine(EngineConfig(
+            cache_dir=os.path.join(td, "cache"),
+            whisper_model_path=f"__random__:{model}",
+            enable_dtw=True,
+            batch_size=streams,
+            max_decode_tokens=DECODE_TOKENS,
+            allow_random_weights=True,
+            diarize_segment_model_path="__random__",
+            diarize_embedding_model_path="__random__",
+        ))
+        opts = TranscribeOptions(
+            model=model, lang="en", enable_vad=False, enable_diarize=True,
+            advanced=AdvancedTranscribe(sampling_strategy="greedy"),
+        )
+        eng.transcribe_audio_batch(wavs, opts)  # warmup / compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            eng.transcribe_audio_batch(wavs, opts)
+        dt = (time.perf_counter() - t0) / iters
+    finally:
+        dec.build_suppress_mask = orig_mask
+
+    xrt = streams * float(seconds) / dt
+    return {
+        "metric": (f"xRT ENGINE {model} {streams}-stream greedy"
+                   f"{DECODE_TOKENS}+dtw+diarize (audio-sec/sec/chip)"),
+        "value": round(xrt, 2),
+        "unit": "x realtime",
+        "vs_baseline": round(xrt / TARGET_XRT, 3),
+    }
+
+
 ROWS = {
     1: dict(model="large-v3"),
     2: dict(model="large-v3", beam=5),
     3: dict(model="large-v3-turbo"),
     4: dict(model="large-v3-turbo", diarize=True, dtw=True),
+    5: "engine",
 }
 
 
 def main() -> None:
-    want = os.environ.get("WDT_BENCH_ROWS", "1,2,3,4")
+    want = os.environ.get("WDT_BENCH_ROWS", "1,2,3,4,5")
     ids = [int(s) for s in want.split(",") if s.strip()]
     if len(ids) == 1:
-        row = bench_config(**ROWS[ids[0]])
+        spec = ROWS[ids[0]]
+        row = bench_engine_path() if spec == "engine" else bench_config(**spec)
         print(json.dumps({**row, "rows": [row]}))
         return
     # one subprocess per row: a fresh backend per config — rows measured

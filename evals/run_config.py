@@ -12,8 +12,9 @@ Usage:
   python evals/run_config.py 5 wav_dir/  [--model-dir DIR]
 
 Reports xRT (audio-seconds per wall-second) always; WER when --ref-text is
-given; DER when --ref-rttm is given (RTTM: "SPEAKER file 1 start dur
-<NA> <NA> speaker <NA> <NA>").
+given; word-timestamp MAE when --ref-words is given (JSON
+[[text, start, end], ...] in seconds); DER when --ref-rttm is given
+(RTTM: "SPEAKER file 1 start dur <NA> <NA> speaker <NA> <NA>").
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from whisper_diarize_tpu.engine import Engine, EngineConfig
-from whisper_diarize_tpu.evals import Turn, der, wer
+from whisper_diarize_tpu.evals import Turn, der, wer, word_timestamp_mae
 from whisper_diarize_tpu.types import AdvancedTranscribe, TranscribeOptions
 
 CONFIGS = {
@@ -58,6 +59,10 @@ def main(argv=None) -> int:
     p.add_argument("--model-dir", default=None)
     p.add_argument("--cache-dir", default="./cache")
     p.add_argument("--ref-text", default=None)
+    p.add_argument("--ref-words", default=None,
+                   help="JSON [[text, start, end], ...] reference word "
+                        "timings -> word-timestamp MAE (BASELINE.md target "
+                        "<= 20 ms)")
     p.add_argument("--ref-rttm", default=None)
     p.add_argument("--max-tokens", type=int, default=224)
     args = p.parse_args(argv)
@@ -108,6 +113,17 @@ def main(argv=None) -> int:
         hyp = " ".join(cue.text.replace("\n", " ") for cue in all_cues[0])
         ref = open(args.ref_text).read()
         report["wer"] = round(wer(ref, hyp), 4)
+    if args.ref_words:
+        with open(args.ref_words) as f:
+            ref_words = [tuple(w) for w in json.load(f)]
+        hyp_words = [
+            (w.text, w.start, w.end)
+            for cue in all_cues[0]
+            for w in (cue.words or [])
+        ]
+        mae = word_timestamp_mae(ref_words, hyp_words)
+        report["word_mae_s"] = None if mae is None else round(mae, 4)
+        report["word_mae_aligned"] = mae is not None
     if args.ref_rttm:
         hyp_turns = [
             Turn(cue.speaker_id or "?", cue.start, cue.end)

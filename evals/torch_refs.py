@@ -306,3 +306,84 @@ def _build_torch_pyannet(torch):
     return PyanNet()
 
 
+
+
+def dtw_anchor_times_torch(qk: np.ndarray, n_frames: int,
+                           medfilt_width: int = 7,
+                           sot_len: int = 0,
+                           n_tok: int | None = None) -> np.ndarray:
+    """Independent torch reference of the whole word-alignment pipeline:
+    openai-whisper `timing.find_alignment` semantics (softmax over valid
+    frames -> std_mean normalize over tokens -> median filter -> head
+    average -> DTW over -matrix -> per-token first-entered frame), written
+    against torch ops and a full-table O(N*M) DP with trace pointers —
+    deliberately NOT sharing code with `ops/dtw.py` (host numpy reductions
+    + associative-scan device DP). `tests/test_quality_fixture.py` computes
+    the word-timestamp MAE between the two on identical attention — the
+    offline stand-in for the <= 20 ms MAE target vs whisper.cpp's `t_dtw`
+    (`/root/reference/src/transcribe.rs:273-306`, BASELINE.md).
+
+    `qk` is [K, S, Ta]; softmax/standardize/medfilt run over ALL S rows
+    given (openai normalizes over the full teacher-forced sequence), then
+    the DTW runs on text rows [sot_len : sot_len + n_tok] (openai's
+    `weights[:, len(sot_sequence):-1]` slice); pass sot_len=0/n_tok=None
+    when qk is already text-rows-only."""
+    import torch
+    import torch.nn.functional as F
+
+    w = torch.from_numpy(
+        np.array(qk, np.float32))[:, :, : max(int(n_frames), 1)]
+    w = torch.softmax(w, dim=-1)
+    std, mean = torch.std_mean(w, dim=-2, keepdim=True, unbiased=False)
+    w = (w - mean) / torch.clamp(std, min=1e-9)
+    pad = medfilt_width // 2
+    if w.shape[-1] > pad:
+        wp = F.pad(w, (pad, pad), mode="reflect")
+        w = wp.unfold(-1, medfilt_width, 1).median(dim=-1).values
+    matrix = w.mean(dim=0).numpy()  # [S, T]
+    if n_tok is not None:
+        matrix = matrix[sot_len: sot_len + n_tok]
+    x = -matrix
+
+    # full-table DP with trace pointers (openai timing.dtw semantics:
+    # argmin over (diag, up, left) — first index wins ties)
+    N, M = x.shape
+    cost = np.full((N + 1, M + 1), np.inf, np.float64)
+    trace = np.zeros((N + 1, M + 1), np.int8)
+    cost[0, 0] = 0.0
+    for i in range(1, N + 1):
+        for j in range(1, M + 1):
+            cands = (cost[i - 1, j - 1], cost[i - 1, j], cost[i, j - 1])
+            k = int(np.argmin(cands))
+            cost[i, j] = x[i - 1, j - 1] + cands[k]
+            trace[i, j] = k
+    i, j = N, M
+    ti, tj = [], []
+    while i > 0 or j > 0:
+        ti.append(i - 1)
+        tj.append(j - 1)
+        if i == 0:
+            j -= 1
+        elif j == 0:
+            i -= 1
+        else:
+            k = trace[i, j]
+            if k == 0:
+                i -= 1
+                j -= 1
+            elif k == 1:
+                i -= 1
+            else:
+                j -= 1
+    text_idx = np.array(ti[::-1], np.int64)
+    time_idx = np.array(tj[::-1], np.int64)
+
+    anchors = np.zeros((N,), np.float64)
+    jumps = np.pad(np.diff(text_idx), (1, 0), constant_values=1).astype(bool)
+    for r, t in zip(text_idx[jumps], time_idx[jumps] * 0.02):
+        anchors[r] = t
+    seen = set(text_idx[jumps].tolist())
+    for k in range(1, N):
+        if k not in seen:
+            anchors[k] = max(anchors[k], anchors[k - 1])
+    return anchors

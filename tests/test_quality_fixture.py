@@ -1,0 +1,169 @@
+"""Offline quality numbers (VERDICT r3 Next #3).
+
+The north-star quality metrics (BASELINE.md: word-timestamp MAE <= 20 ms
+vs the reference's DTW `t_dtw`, WER, DER) need trained checkpoints this
+box cannot download. These tests produce the first ACTUAL numbers with
+zero network, on deterministic fixtures:
+
+* word-timestamp MAE: the full JAX alignment pipeline (host AND on-device
+  DTW) scored against an INDEPENDENT torch implementation of the same
+  find_alignment semantics (`evals/torch_refs.py::dtw_anchor_times_torch`)
+  on IDENTICAL attention — the offline stand-in for MAE vs whisper.cpp's
+  `t_dtw` (`/root/reference/src/transcribe.rs:273-306`).
+* WER + MAE goldens: the Engine pipeline replayed bit-deterministically on
+  a committed expected-text/expected-words fixture, emitted through
+  `evals/run_config.py` (the harness that will score real checkpoints).
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "evals"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+pytestmark = pytest.mark.slow  # full alignment/engine runs (`pytest -m slow`)
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "quality")
+
+
+def test_dtw_word_mae_vs_torch_replica():
+    """MAE of our DTW anchors (host numpy path AND fully on-device path)
+    vs the independent torch replica, on identical alignment attention.
+    Target: <= 20 ms (BASELINE.md); the implementations share semantics,
+    so the only divergence sources are float reduction order and backtrack
+    tie-breaks (each worth at most one 20 ms frame on a tie)."""
+    from torch_refs import dtw_anchor_times_torch
+    from whisper_diarize_tpu.models import whisper as wm
+    from whisper_diarize_tpu.ops import decode as dec
+    from whisper_diarize_tpu.ops import dtw as dtw_ops
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+
+    cfg = wm.WhisperConfig(
+        n_mels=80, n_vocab=51865,
+        n_audio_ctx=1500, n_audio_state=64, n_audio_head=2, n_audio_layer=2,
+        n_text_ctx=448, n_text_state=64, n_text_head=2, n_text_layer=2,
+    )
+    params = wm.init_params(cfg, seed=3)
+    tk = DebugTokenizer()
+    sp = tk.specials
+
+    rng = np.random.default_rng(0)
+    B = 2
+    n_valid = 16000 * 3  # 3 s of audio -> 150 valid encoder frames
+    audio = np.zeros((B, 480000), np.float32)
+    audio[:, :n_valid] = rng.standard_normal((B, n_valid)).astype(np.float32) * 0.1
+    from whisper_diarize_tpu.ops.mel import log_mel_spectrogram
+
+    mel = log_mel_spectrogram(jnp.asarray(audio), n_mels=cfg.n_mels)
+    xa = wm.encode(params, mel, cfg)
+
+    # force printable text tokens so the token sequence is non-trivial
+    printable = [i for i in range(cfg.n_vocab) if i not in range(33, 127)]
+    suppress = jnp.asarray(
+        dec.build_suppress_mask(sp, cfg.n_vocab, printable))
+    dc = dec.DecodeConfig(max_tokens=16, blank_id=32, with_timestamps=False)
+    prompt = jnp.asarray(np.tile(
+        np.array(tk.sot_sequence(language="en"), np.int32), (B, 1)))
+    res = dec.greedy_decode(params, cfg, dc, sp, xa, prompt, prompt.shape[1],
+                            suppress_mask=suppress)
+    lens = np.asarray(res.lengths)
+    assert (lens > 0).all()
+    toks = np.asarray(res.tokens)
+
+    heads = wm.alignment_heads_for("", cfg)  # default preset for tiny cfg
+    sot = np.asarray(prompt)
+    seq = jnp.asarray(np.concatenate([sot, toks], axis=1))
+    qk = np.asarray(wm.alignment_cross_attn(params, cfg, seq, xa, heads))
+    n_frames = n_valid // 320  # encoder positions (20 ms each)
+    sot_len = sot.shape[1]
+
+    maes = []
+    for b in range(B):
+        n_tok = int(lens[b])
+        # engine row population: sot + text + the eot row (like bench.py /
+        # TranscribeStep: n_rows = sot_len + lens + 1)
+        n_rows = sot_len + n_tok + 1
+        qk_rows = qk[b][:, :n_rows, :]
+
+        # ours, engine host path: on-device cost reduction, host DP
+        cost = np.asarray(dtw_ops.alignment_cost_batch(
+            jnp.asarray(qk[b][None]),
+            jnp.asarray([n_frames], jnp.int32),
+            jnp.asarray([n_rows], jnp.int32),
+        ))[0, sot_len: sot_len + n_tok, :n_frames]
+        anchors_host = dtw_ops.anchor_times_from_cost(
+            np.ascontiguousarray(cost), n_tok)
+
+        # ours, fully on-device path (DP + backtrack on chip)
+        cost_dev = dtw_ops.alignment_cost_batch(
+            jnp.asarray(qk[b][None]),
+            jnp.asarray([n_frames], jnp.int32),
+            jnp.asarray([n_rows], jnp.int32),
+        )
+        frames_dev = np.asarray(dtw_ops.dtw_anchor_frames_batch(
+            cost_dev, jnp.asarray([n_tok], jnp.int32),
+            jnp.asarray([n_frames], jnp.int32), sot_len,
+        ))[0, :n_tok]
+        anchors_dev = frames_dev * dtw_ops.FRAME_SECONDS
+
+        # independent torch replica on the IDENTICAL attention
+        anchors_ref = dtw_anchor_times_torch(
+            qk_rows, n_frames, sot_len=sot_len, n_tok=n_tok)
+
+        # and the pre-sliced population (token_anchor_times utility) vs the
+        # replica in the same mode
+        anchors_util = dtw_ops.token_anchor_times(
+            qk[b][:, sot_len: sot_len + n_tok, :], n_frames)
+        anchors_ref_sliced = dtw_anchor_times_torch(
+            qk[b][:, sot_len: sot_len + n_tok, :], n_frames)
+
+        mae_host = float(np.abs(anchors_host - anchors_ref).mean())
+        mae_dev = float(np.abs(anchors_dev - anchors_ref).mean())
+        mae_util = float(np.abs(anchors_util - anchors_ref_sliced).mean())
+        maes.append((mae_host, mae_dev, mae_util))
+        assert mae_host <= 0.020 + 1e-9, (b, mae_host)
+        assert mae_dev <= 0.020 + 1e-9, (b, mae_dev)
+        assert mae_util <= 0.020 + 1e-9, (b, mae_util)
+    print("word-timestamp MAE vs torch replica (host, device, util):", maes)
+
+
+def test_run_config_emits_wer_and_word_mae(tmp_path, capsys, monkeypatch):
+    """Replay the committed golden fixture through `evals/run_config.py`:
+    the harness must emit WER == 0 vs expected.txt and word-timestamp
+    MAE <= 20 ms vs expected_words.json, zero network (VERDICT r3 "Done"
+    criterion for quality numbers)."""
+    from make_quality_golden import (
+        apply_printable_suppression, build_fixture_inputs)
+
+    golden_txt = os.path.join(FIXTURE_DIR, "expected.txt")
+    golden_words = os.path.join(FIXTURE_DIR, "expected_words.json")
+    assert os.path.exists(golden_txt) and os.path.exists(golden_words), (
+        "run tools/make_quality_golden.py to (re)generate the fixtures")
+
+    snap, wav = build_fixture_inputs(str(tmp_path))
+    monkeypatch.setenv("WDT_VAD_MODEL", "__random__")
+    import run_config
+
+    undo = apply_printable_suppression()  # same patch as the generator
+    try:
+        rc = run_config.main([
+            "2", wav, "--model-dir", snap,
+            "--cache-dir", str(tmp_path / "cache"),
+            "--ref-text", golden_txt,
+            "--ref-words", golden_words,
+            "--max-tokens", "12",
+        ])
+    finally:
+        undo()
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["wer"] == 0.0, report
+    assert report["word_mae_aligned"], report
+    assert report["word_mae_s"] <= 0.020, report
+    assert report["xRT"] > 0

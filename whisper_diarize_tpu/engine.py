@@ -260,6 +260,26 @@ class Engine:
         from .models import weights as weights_mod
         from .tokenizer import load_tokenizer
 
+        if self.cfg.whisper_model_path and self.cfg.whisper_model_path.startswith(
+            "__random__"
+        ):
+            # "__random__" / "__random__:<preset>" sentinel: benchmark-grade
+            # random weights at a real preset's geometry, straight on device
+            # (init_params_fast — no snapshot on disk, no host RNG over
+            # hundreds of millions of floats) + the byte-level
+            # DebugTokenizer. Architecture/throughput runs only, like the
+            # VAD/diarize "__random__" sentinel; bench.py's engine-path row
+            # uses it to drive Engine.transcribe_audio_batch at
+            # large-v3-turbo scale without a 1.6 GB fixture write.
+            from .models import whisper as wm_mod
+            from .tokenizer import DebugTokenizer
+
+            path = self.cfg.whisper_model_path
+            name = path.split(":", 1)[1] if ":" in path else options.model
+            cfg = wm_mod.PRESETS[name]
+            params = wm_mod.init_params_fast(cfg, dtype=self._resolve_dtype())
+            return params, cfg, DebugTokenizer(num_languages=cfg.num_languages)
+
         if self.cfg.whisper_model_path:
             snap = Path(self.cfg.whisper_model_path)
         else:
