@@ -3,7 +3,12 @@ import jax.numpy as jnp
 import pytest
 
 from whisper_diarize_tpu.ops.mel import log_mel_spectrogram
-from whisper_diarize_tpu.ops.pallas_mel import TILE_F, frontend, log_mel_pallas
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from pallas_mel import TILE_F, frontend, log_mel_pallas  # noqa: E402 (quarantined kernel, tools/)
 
 
 @pytest.mark.parametrize("n_mels", [80, 128])

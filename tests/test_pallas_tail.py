@@ -6,6 +6,9 @@ greedy (beams=1) and beam-folded (beams>1) query shapes, including the
 padded final cross K/V tile.
 """
 
+import os
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +17,10 @@ import pytest
 from whisper_diarize_tpu.models import whisper as wm
 from whisper_diarize_tpu.ops import pallas_tail
 from whisper_diarize_tpu.ops.pallas_attn import tile_cross_kv
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import pallas_front  # noqa: E402 (quarantined FRONT kernel, tools/)
 
 
 def _mk(cfg, B, beams, Ta, t_tile, seed=0):
@@ -82,7 +89,7 @@ def test_fused_front_matches_xla(pos, rp):
     vc = jnp.asarray(
         rng.standard_normal((cfg.n_text_layer, B, H, Tc, Dh)), jnp.float32)
     row_pad = jnp.asarray(rp, jnp.int32)
-    pack = pallas_tail.pack_front_weights(params, cfg)
+    pack = pallas_front.pack_front_weights(params, cfg)
 
     # reference: the decode_step greedy-path mask (buffer slot `pos`)
     kpos = jnp.arange(Tc)[None, None, :]
@@ -98,7 +105,7 @@ def test_fused_front_matches_xla(pos, rp):
         vc_w = vc.at[layer, :, :, pos].set(v_new[:, :, 0])
         ref = wm._attn(q, kc_w[layer], vc_w[layer], mask)
 
-        so, kn, vn = pallas_tail.fused_front_layer(
+        so, kn, vn = pallas_front.fused_front_layer(
             jnp.int32(layer), jnp.int32(pos), row_pad, x,
             pack["w"], pack["b"], kc, vc, interpret=True)
         np.testing.assert_allclose(
@@ -112,7 +119,7 @@ def test_fused_front_matches_xla(pos, rp):
 def _attach_tail(params, cfg, front=True):
     extra = {"tail": pallas_tail.pack_tail_weights(params, cfg)}
     if front:
-        extra["front"] = pallas_tail.pack_front_weights(params, cfg)
+        extra["front"] = pallas_front.pack_front_weights(params, cfg)
     return {**params, "decoder": {**params["decoder"], **extra}}
 
 
@@ -180,6 +187,7 @@ def test_fused_tail_multi_tile_geometry(monkeypatch):
     arithmetic, the fc1-bias row straddle, and the 3-slot round-robin with
     more tiles than slots."""
     monkeypatch.setattr(pallas_tail, "_pick_tw", lambda D: 128)
+    monkeypatch.setattr(pallas_front, "_pick_tw", lambda D: 128)
     cfg = wm.WhisperConfig(
         n_mels=8, n_vocab=64, n_audio_ctx=32, n_audio_state=256,
         n_audio_head=4, n_audio_layer=1, n_text_ctx=64, n_text_state=256,
@@ -204,7 +212,7 @@ def test_fused_tail_multi_tile_geometry(monkeypatch):
         rng.standard_normal((cfg.n_text_layer, B, H, Tc, Dh)), jnp.float32)
     vc = jnp.asarray(
         rng.standard_normal((cfg.n_text_layer, B, H, Tc, Dh)), jnp.float32)
-    fpack = pallas_tail.pack_front_weights(params, cfg)
+    fpack = pallas_front.pack_front_weights(params, cfg)
     assert fpack["w"].shape[1] == 3 * 2
     pos, row_pad = 5, jnp.asarray([1, 0], jnp.int32)
     kpos = jnp.arange(Tc)[None, None, :]
@@ -217,7 +225,7 @@ def test_fused_tail_multi_tile_geometry(monkeypatch):
         kc_w = kc.at[layer, :, :, pos].set(k_new[:, :, 0])
         vc_w = vc.at[layer, :, :, pos].set(v_new[:, :, 0])
         ref = wm._attn(q, kc_w[layer], vc_w[layer], mask)
-        so_g, kn, vn = pallas_tail.fused_front_layer(
+        so_g, kn, vn = pallas_front.fused_front_layer(
             jnp.int32(layer), jnp.int32(pos), row_pad, xf,
             fpack["w"], fpack["b"], kc, vc, interpret=True)
         np.testing.assert_allclose(

@@ -49,11 +49,15 @@ def worker(model: str, batch: int, variant: str, mode: str) -> None:
         pallas_cross=True, pallas_tail=variant != "off",
     )
     if variant != "off":
-        from whisper_diarize_tpu.ops.pallas_tail import (
-            pack_front_weights, pack_tail_weights)
+        from whisper_diarize_tpu.ops.pallas_tail import pack_tail_weights
 
         extra = {"tail": pack_tail_weights(params, cfg)}
         if variant == "tail+front":
+            # quarantined kernel (tools/pallas_front.py); this dir is on
+            # sys.path so models/whisper.py's lazy import resolves too
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from pallas_front import pack_front_weights
+
             extra["front"] = pack_front_weights(params, cfg)
         params = {**params,
                   "decoder": {**params["decoder"], **extra}}

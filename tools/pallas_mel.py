@@ -20,8 +20,14 @@ Whisper's dynamic-range normalization (clamp to global max - 8, then
 consumer; the kernel emits raw log10 mel energies.
 
 `log_mel_pallas` matches `ops/mel.py::log_mel_spectrogram` (see
-tests/test_pallas_mel.py) and is selected automatically on TPU backends by
-`frontend()`.
+tests/test_pallas_mel.py, interpret mode).
+
+QUARANTINED to tools/ (VERDICT r3 Next #7): mel costs ~1.4 ms of a ~640 ms
+large-v3 window, so the kernel has no product value, and its default MXU
+f32 precision drifts from the XLA path on real TPUs — the product path is
+always `ops/mel.py::log_mel_spectrogram` now. The kernel stays here (with
+its parity test) as the reference fused-frontend design should mel ever
+become a bottleneck (e.g. much shorter windows).
 """
 
 from __future__ import annotations
@@ -32,7 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .mel import HOP_LENGTH, N_FFT, _dft_bases, mel_filterbank
+from whisper_diarize_tpu.ops.mel import (
+    HOP_LENGTH, N_FFT, _dft_bases, mel_filterbank)
 
 TILE_F = 200  # frames per grid step (3000 % 200 == 0; % 8 == 0 for tiling)
 ROW = HOP_LENGTH  # 160 samples per row; window 400 = 2.5 rows
@@ -126,19 +133,12 @@ def log_mel_pallas(
 
 
 def frontend(audio: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
-    """Backend-dispatching log-mel.
-
-    The Pallas kernel is numerically exact (interpret-mode parity test) but
-    this development environment's *remote* TPU AOT compiler hangs on Mosaic
-    payloads (plain XLA jits compile fine, Mosaic lowering errors return
-    fine, successful-lowering compiles never return — and the local-AOT
-    escape hatch is rejected with a libtpu version mismatch). Until the
-    toolchain is fixed, the kernel is opt-in via WDT_ENABLE_PALLAS=1 and the
-    MXU-matmul jnp path (`ops/mel.py`) is the default on every backend.
-    """
+    """Backend-dispatching log-mel (kept for the parity test's API): the
+    Pallas kernel on TPU with WDT_ENABLE_PALLAS=1, else the product XLA
+    path (`ops/mel.py`)."""
     import os
 
-    from .mel import log_mel_spectrogram
+    from whisper_diarize_tpu.ops.mel import log_mel_spectrogram
 
     if jax.default_backend() == "tpu" and os.environ.get("WDT_ENABLE_PALLAS") == "1":
         return log_mel_pallas(audio, n_mels=n_mels)

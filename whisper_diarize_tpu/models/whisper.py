@@ -808,7 +808,10 @@ def decode_step(
         rp_arr = row_pad if row_pad is not None else jnp.zeros((B,), jnp.int32)
         for l in range(L):
             if use_front:
-                from ..ops.pallas_tail import fused_front_layer
+                # quarantined kernel (VERDICT r3 #7): only the megakernel
+                # gate tool attaches a front pack, and it puts tools/ on
+                # sys.path before calling
+                from pallas_front import fused_front_layer
 
                 self_out, k_new, v_new = fused_front_layer(
                     jnp.int32(l), pos_offset, rp_arr, x,

@@ -14,9 +14,9 @@ Replaces two native components of the reference (SURVEY.md §2.4):
 TPU-first design: the rFFT is expressed as two real matmuls against
 precomputed DFT bases so the whole frontend — framing, window, DFT, power,
 mel projection — runs on the MXU as a chain of GEMMs that XLA fuses, instead
-of scalar FFT butterflies. A fused Pallas kernel for the same computation
-lives in `ops/pallas_mel.py`; this module is the reference implementation
-and the fallback on non-TPU backends.
+of scalar FFT butterflies. A fused Pallas kernel for the same computation is quarantined in
+`tools/pallas_mel.py` (mel is ~1.4 ms of a ~640 ms window — no product
+value); this module is the product path on every backend.
 """
 
 from __future__ import annotations
@@ -148,7 +148,7 @@ def _split_hann_bases():
     hop-160 framing then needs no gather — frame i is row i ‖ row i+1 ‖ the
     first half of row i+2 of the [rows, 160] audio view, so the windowed DFT
     is three accumulated GEMMs on contiguous reshapes (same trick as the
-    Pallas kernel in ops/pallas_mel.py)."""
+    quarantined Pallas kernel in tools/pallas_mel.py)."""
     C, S = _dft_bases(N_FFT, "hann")
 
     def third(M, j):
