@@ -305,3 +305,59 @@ def test_retire_eot_matches_sequential():
         np.testing.assert_allclose(vs, fs)
         np.testing.assert_array_equal(vl, fl)
         np.testing.assert_array_equal(vc, fc)
+
+
+def test_timestamp_rule_mask_matches_logsoftmax_reference():
+    """The slice-reduction probability rule (ts lse vs max text logit on raw
+    masked logits) must agree with whisper's literal formulation (full
+    log_softmax, then logsumexp over ts logprobs vs max text logprob) —
+    both subtract the same row normalizer, so the forced set is identical."""
+    import numpy as np
+
+    from whisper_diarize_tpu.ops.decode import (
+        NEG_INF, _timestamp_rule_mask)
+    from whisper_diarize_tpu.tokenizer import DebugTokenizer
+
+    sp = DebugTokenizer().specials
+    V = sp.timestamp_begin + 80
+    N = 12
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((N, V)).astype(np.float32) * 4)
+    # exercise every grammar state: fresh rows, lone-ts rows, ts-pair rows,
+    # monotonicity floors, and rows where the ts mass dominates
+    logits = logits.at[3:6, sp.timestamp_begin:].add(8.0)
+    last = jnp.asarray([0, 1, 1, 0, 1, 1, 0, 0, 1, 0, 1, 1], bool)
+    pen = jnp.asarray([0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 1, 0], bool)
+    mx = jnp.asarray(
+        [sp.timestamp_begin + i * 3 for i in range(N)], jnp.int32)
+    seen = jnp.asarray([0, 1, 1, 1, 0, 1, 0, 1, 1, 0, 1, 1], bool)
+
+    for step in (0, 5):
+        got = _timestamp_rule_mask(
+            logits, sp, jnp.int32(step), last, pen, mx, seen, 50)
+
+        # reference: identical grammar bans, then the literal logprob rule
+        ids = jnp.arange(V)
+        is_ts = ids >= sp.timestamp_begin
+        force_text = last & pen
+        force_ts = last & (~pen)
+        strict = ~(last & ~pen)
+        min_allowed = jnp.where(
+            seen, mx + strict.astype(jnp.int32), sp.timestamp_begin)
+        banned = force_text[:, None] & is_ts[None, :]
+        banned = banned | (force_ts[:, None] & (ids < sp.eot)[None, :])
+        banned = banned | (
+            is_ts[None, :] & (ids[None, :] < min_allowed[:, None]))
+        first = jnp.broadcast_to(jnp.asarray(step) == 0, (N,))
+        first_ban = (~is_ts) | (ids > sp.timestamp_begin + 50)
+        banned = banned | (first[:, None] & first_ban[None, :])
+        ref = jnp.where(banned, NEG_INF, logits)
+        logprobs = jax.nn.log_softmax(ref, axis=-1)
+        ts_lp = jax.nn.logsumexp(
+            jnp.where(is_ts[None, :], logprobs, NEG_INF), axis=-1)
+        max_text = jnp.max(
+            jnp.where(is_ts[None, :], NEG_INF, logprobs), axis=-1)
+        ref = jnp.where(
+            (ts_lp > max_text)[:, None] & (~is_ts[None, :]), NEG_INF, ref)
+
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

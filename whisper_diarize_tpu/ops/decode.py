@@ -203,12 +203,16 @@ def _timestamp_rule_mask(
     banned = banned | (first[:, None] & first_ban[None, :])
     logits = jnp.where(banned, NEG_INF, logits)
 
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
-    ts_logprob = jax.nn.logsumexp(
-        jnp.where(is_ts[None, :], logprobs, NEG_INF), axis=-1
-    )
-    max_text = jnp.max(jnp.where(is_ts[None, :], NEG_INF, logprobs), axis=-1)
-    force = ts_logprob > max_text
+    # probability rule without materializing log_softmax: both sides of
+    # whisper's `logsumexp(ts logprobs) > max(text logprobs)` subtract the
+    # same row normalizer, so the comparison holds on raw masked logits —
+    # the ts side reduces over only the [*, V - timestamp_begin] slice and
+    # the [N, V] logprobs buffer (write + two reduction reads per sampled
+    # token) disappears (bench_beam_breakdown `sample`: the selection chain
+    # was ~1.0 ms/step on large-v3 b16, dominated by these passes)
+    ts_lse = jax.nn.logsumexp(logits[:, sp.timestamp_begin:], axis=-1)
+    max_text = jnp.max(logits[:, : sp.timestamp_begin], axis=-1)
+    force = ts_lse > max_text
     logits = jnp.where(force[:, None] & (~is_ts[None, :]), NEG_INF, logits)
     return logits
 
@@ -321,6 +325,10 @@ def greedy_init(
     # the vocabulary (logits_at skips the [B, P, V] buffer at long prompts)
     P = prompt.shape[1]
     pos_at = (sot_pos,) if sot_pos == P - 1 else (sot_pos, P - 1)
+    # prompt pass stays on the lax.scan driver: unrolling LOSES here (A/B
+    # on v5e large-v3 b16, tools/bench_prefill_ab.py: scan 68.7/74.7 ms vs
+    # unroll 70.2/78.0 at P=3/48) — the scan's per-layer weight slices
+    # amortize over P tokens of work, unlike the S=1 sampling step
     logits_all, cache = wm.decode_step(
         params, cfg, prompt, jnp.int32(0), cache, cross_cache,
         row_pad=row_pad, mesh=dc.mesh, logits_at=pos_at,
@@ -605,6 +613,7 @@ def beam_init(
     row_pad_n = rep(row_pad)
     P = prompt.shape[1]
     pos_at = (sot_pos,) if sot_pos == P - 1 else (sot_pos, P - 1)
+    # scan driver on purpose — see the greedy_init prompt-pass note
     logits_all, prompt_cache = wm.decode_step(
         params, cfg, prompt, jnp.int32(0), prompt_cache, cross_cache,
         row_pad=row_pad, mesh=dc.mesh, logits_at=pos_at,
