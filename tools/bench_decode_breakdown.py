@@ -112,7 +112,26 @@ def main() -> None:
         lambda: dec.greedy_init(params, cfg, dc, sp, xa, prompt, P,
                                 suppress_mask=suppress)["logits"][0, :1]
     )
-    print(f"prefill      {t_pre*1e3:8.1f} ms")
+    print(f"prefill      {t_pre*1e3:8.1f} ms  (single dispatch: includes "
+          "~25 ms tunnel RTT)")
+
+    # TRUE prefill device time via the slope method (ledger timing rule):
+    # fori_loop of n dependent greedy_init passes inside ONE dispatch. The
+    # carry perturbs xa by a data-dependent ~0 so XLA cannot hoist the
+    # loop-invariant cross-KV build or fuse iterations.
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def prefill_loop(p, a, n):
+        def body(_, carry):
+            st = dec.greedy_init(p, cfg, dc, sp, a + carry * 1e-12, prompt,
+                                 P, suppress_mask=suppress)
+            return (st["logits"][0, 0] * 1e-12).astype(a.dtype)
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), xa.dtype))
+
+    p2 = best_of(lambda: prefill_loop(params, xa, 2))
+    p6 = best_of(lambda: prefill_loop(params, xa, 6))
+    print(f"  prefill slope {(p6-p2)/4*1e3:6.1f} ms/pass (2->6 rep slope; "
+          "true device time, RTT amortized)")
 
     # --- prefill sub-breakdown (where does t_pre go?) --------------------
     # runs BEFORE the persistent decode state exists: state holds one full
