@@ -33,6 +33,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+if os.environ.get("WDT_FORCE_CPU") == "1":
+    # plumbing/orchestration tests off-TPU: the site hook re-asserts
+    # JAX_PLATFORMS=axon, so the env var alone cannot force CPU
+    jax.config.update("jax_platforms", "cpu")
+
 from whisper_diarize_tpu.models import whisper as wm
 from whisper_diarize_tpu.ops import decode as dec
 from whisper_diarize_tpu.ops import dtw as dtw_ops
@@ -207,7 +212,8 @@ def bench_config(model: str, *, beam: int = 1, diarize: bool = False,
 
 
 def bench_engine_path(model: str = "large-v3-turbo", streams: int = 16,
-                      seconds: int = 30, iters: int = 3) -> dict:
+                      seconds: int | None = None, iters: int | None = None,
+                      ) -> dict:
     """BASELINE config 5 through the PRODUCT path: 16 synthetic WAV streams
     via `Engine.transcribe_audio_batch` — diarization (segmentation net +
     CAM++ embeddings + clustering), the window scheduler, the pipelined-DTW
@@ -218,6 +224,15 @@ def bench_engine_path(model: str = "large-v3-turbo", streams: int = 16,
     build_suppress_mask hook the compute rows use, so every window decodes
     a realistic token budget."""
     import tempfile
+
+    # Budgeted for the driver (VERDICT r4 Next #1d): row 5 carries a large
+    # fresh compile (engine greedy + segmentation + CAM++ + mel), so the
+    # measured portion defaults small; WDT_ENGINE_SECONDS/ITERS widen it for
+    # manual runs.
+    if seconds is None:
+        seconds = int(os.environ.get("WDT_ENGINE_SECONDS", "15"))
+    if iters is None:
+        iters = int(os.environ.get("WDT_ENGINE_ITERS", "2"))
 
     from whisper_diarize_tpu.audio import write_wav
     from whisper_diarize_tpu.engine import Engine, EngineConfig
@@ -280,12 +295,45 @@ ROWS = {
 }
 
 
+def _probe_backend(deadline: float) -> bool:
+    """One tiny dispatch in a killable subprocess: turns a dead/hung TPU
+    tunnel into an explicit error instead of an unbounded hang (VERDICT r4
+    Next #1c — round 4 lost its entire perf record to exactly that)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, jax;"
+        "os.environ.get('WDT_FORCE_CPU') == '1' and "
+        "jax.config.update('jax_platforms', 'cpu');"
+        "import numpy as np, jax.numpy as jnp;"
+        "x = jnp.ones((8, 8));"
+        "print('WDT_PROBE_OK', float(np.asarray(x @ x)[0, 0]))"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=deadline,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return "WDT_PROBE_OK" in out.stdout
+
+
 def main() -> None:
     want = os.environ.get("WDT_BENCH_ROWS", "1,2,3,4,5")
     ids = [int(s) for s in want.split(",") if s.strip()]
     if len(ids) == 1:
+        hang = os.environ.get("WDT_SIMULATE_HANG_ROW", "")
+        if str(ids[0]) in [s.strip() for s in hang.split(",") if s.strip()]:
+            time.sleep(1e9)  # test hook: a hung row for the timeout path
         spec = ROWS[ids[0]]
-        row = bench_engine_path() if spec == "engine" else bench_config(**spec)
+        # WDT_BENCH_MODEL_OVERRIDE=tiny: CPU smoke runs of the orchestration
+        over = os.environ.get("WDT_BENCH_MODEL_OVERRIDE")
+        if spec == "engine":
+            row = bench_engine_path(**({"model": over} if over else {}))
+        else:
+            row = bench_config(**({**spec, "model": over} if over else spec))
         print(json.dumps({**row, "rows": [row]}))
         return
     # one subprocess per row: a fresh backend per config — rows measured
@@ -294,23 +342,50 @@ def main() -> None:
     import subprocess
     import sys
 
+    # Driver-proofing (VERDICT r4 Next #1): the round-4 BENCH record was
+    # rc=124/empty because one hung row consumed the whole driver budget and
+    # nothing was printed until all rows finished. Now: (a) a short-deadline
+    # backend probe fails fast on a dead tunnel; (b) every row has its own
+    # timeout and expiry yields a FAILED row, not a hang; (c) each row's JSON
+    # line is printed (flushed) the moment it completes, so a driver kill
+    # still leaves a parseable tail.
+    row_timeout = float(os.environ.get("WDT_ROW_TIMEOUT", "420"))
+    probe_deadline = float(os.environ.get("WDT_PROBE_TIMEOUT", "150"))
+    attempts = int(os.environ.get("WDT_PROBE_ATTEMPTS", "2"))
+    if not any(_probe_backend(probe_deadline) for _ in range(attempts)):
+        err = {
+            "metric": "BACKEND DEAD (probe dispatch timed out)",
+            "value": 0.0, "unit": "x realtime", "vs_baseline": 0.0,
+        }
+        print(json.dumps({**err, "rows": [err]}), flush=True)
+        return
+
     rows = []
     for rid in ids:
         env = dict(os.environ, WDT_BENCH_ROWS=str(rid))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            capture_output=True, text=True, env=env,
-        )
-        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
         try:
-            rows.append({k: v for k, v in json.loads(line).items() if k != "rows"})
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, env=env, timeout=row_timeout,
+            )
+            line = (out.stdout.strip().splitlines()[-1]
+                    if out.stdout.strip() else "")
+            row = {k: v for k, v in json.loads(line).items() if k != "rows"}
+        except subprocess.TimeoutExpired:
+            row = {
+                "metric": f"row {rid} FAILED (timeout {row_timeout:.0f}s)",
+                "value": 0.0, "unit": "x realtime", "vs_baseline": 0.0,
+            }
         except (ValueError, IndexError):
-            rows.append({
+            sys.stderr.write(out.stderr[-2000:] + "\n")
+            row = {
                 "metric": f"row {rid} FAILED",
                 "value": 0.0, "unit": "x realtime", "vs_baseline": 0.0,
-            })
+            }
+        rows.append(row)
+        print(json.dumps(row), flush=True)  # incremental: survives a kill
     head = rows[0]
-    print(json.dumps({**head, "rows": rows}))
+    print(json.dumps({**head, "rows": rows}), flush=True)
 
 
 if __name__ == "__main__":
