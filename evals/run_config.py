@@ -65,6 +65,11 @@ def main(argv=None) -> int:
                         "<= 20 ms)")
     p.add_argument("--ref-rttm", default=None)
     p.add_argument("--max-tokens", type=int, default=224)
+    p.add_argument("--diarize-threshold", type=float, default=None,
+                   help="embedding-cluster cosine threshold (default 0.5, "
+                        "`engine.rs:103`); the offline DER golden raises it "
+                        "to split untrained-embedding clusters")
+    p.add_argument("--max-speakers", type=int, default=None)
     args = p.parse_args(argv)
     c = CONFIGS[args.config]
 
@@ -83,9 +88,11 @@ def main(argv=None) -> int:
         lang=c["lang"],
         enable_vad=c["vad"] and not c["diarize"],
         enable_diarize=c["diarize"] or None,
+        max_speakers=args.max_speakers,
         advanced=AdvancedTranscribe(
             sampling_strategy=c.get("strategy"),
             best_of_or_beam_size=c.get("beam"),
+            diarize_threshold=args.diarize_threshold,
         ),
     )
 
@@ -132,6 +139,8 @@ def main(argv=None) -> int:
         report["der"] = {
             k: round(v, 4) for k, v in der(read_rttm(args.ref_rttm), hyp_turns).items()
         }
+        report["speakers_found"] = len(
+            {t.speaker for t in hyp_turns if t.speaker != "?"})
     print(json.dumps(report))
     return 0
 

@@ -133,6 +133,54 @@ def test_dtw_word_mae_vs_torch_replica():
     print("word-timestamp MAE vs torch replica (host, device, util):", maes)
 
 
+def test_run_config_emits_der_golden(tmp_path, capsys, monkeypatch):
+    """Offline DER golden through the ENGINE (VERDICT r4 Next #4): a
+    deterministic 2-speaker WAV (spectrally distinct synthetic signals whose
+    random-weight CAM++ embeddings cluster separably) replayed through the
+    config-3 diarization pipeline and scored against the designed RTTM via
+    `evals/run_config.py --ref-rttm`.
+
+    What the assertions mean (reference semantics:
+    `/root/reference/src/transcribe.rs:463-496` embed->cluster->speaker_id,
+    threshold policy of `engine.rs:103`):
+      * speakers_found == 2, confusion <= 5%: every chunk of speaker A lands
+        in one cluster, every chunk of speaker C in the other — the
+        embedding/clustering/propagation chain is correct end to end.
+      * false_alarm == 0: no hypothesis speech outside designed speech.
+      * der <= 0.65: total; the dominant term is MISSED speech, which is the
+        untrained segmentation net's detection rate on synthetic audio (the
+        measured run: missed ~0.53, confusion ~0.03) — a property of random
+        weights, not of the pipeline. Real-checkpoint DER still requires
+        downloads (docs/PARITY.md)."""
+    from make_quality_golden import (
+        DER_MAX_SPEAKERS, DER_THRESHOLD, apply_der_suppression,
+        build_der_fixture_inputs)
+
+    snap, wav, rttm = build_der_fixture_inputs(str(tmp_path))
+    monkeypatch.setenv("WDT_SEG_MODEL", "__random__")
+    monkeypatch.setenv("WDT_EMB_MODEL", "__random__")
+    import run_config
+
+    undo = apply_der_suppression()
+    try:
+        rc = run_config.main([
+            "3", wav, "--model-dir", snap,
+            "--cache-dir", str(tmp_path / "cache"),
+            "--ref-rttm", rttm,
+            "--max-tokens", "8",
+            "--diarize-threshold", str(DER_THRESHOLD),
+            "--max-speakers", str(DER_MAX_SPEAKERS),
+        ])
+    finally:
+        undo()
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["speakers_found"] == 2, report
+    assert report["der"]["false_alarm"] == 0.0, report
+    assert report["der"]["confusion"] <= 0.05, report
+    assert report["der"]["der"] <= 0.65, report
+
+
 def test_run_config_emits_wer_and_word_mae(tmp_path, capsys, monkeypatch):
     """Replay the committed golden fixture through `evals/run_config.py`:
     the harness must emit WER == 0 vs expected.txt and word-timestamp
