@@ -206,15 +206,15 @@ def parity_campplus(ckpt: str) -> bool:
     return _report("campplus.embedding", float(np.abs(ours - ref).max()), 5e-3)
 
 
-def main() -> int:
+def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("component",
                    choices=["whisper", "silero", "pyannote", "campplus"])
     p.add_argument("checkpoint")
     p.add_argument("--audio", default=None)
-    args = p.parse_args()
+    args = p.parse_args(argv)
     if not os.path.exists(args.checkpoint):
-        print(f"checkpoint not found: {args.checkpoint} (skipping)")
+        print(f"SKIP: checkpoint not found: {args.checkpoint}")
         return 0
     ok = {
         "whisper": lambda: parity_whisper(args.checkpoint, args.audio),
