@@ -16,10 +16,22 @@ north-star target is >= 100x real-time per v5e chip on large-v3):
 Each row reports **xRT**: audio-seconds transcribed per wall-clock second
 per chip; `vs_baseline` is the ratio to the 100x target.
 
-Prints ONE JSON line: the headline row's {"metric", "value", "unit",
-"vs_baseline"} plus a "rows" array with every measured config.
+Prints ONE JSON line per completed row: the headline row's {"metric",
+"value", "unit", "vs_baseline"} plus a "rows" array with every row
+measured SO FAR (cumulative) — the final line is the full aggregate, and
+a driver kill mid-run still leaves every completed row in the tail.
 
-Env: WDT_BENCH_ROWS="1,3" limits to a subset (1-based row ids above).
+Row subprocesses are all spawned upfront: on the tunneled axon backend
+the per-process first-dispatch handshake (device claim + remote-compile
+round trip) can cost minutes, so each child performs it concurrently,
+signals READY, and waits for a go-file before measuring — rows still
+measure one at a time on an otherwise-idle device, but their handshakes
+overlap instead of serializing. The first row's handshake doubles as the
+dead-backend probe.
+
+Env: WDT_BENCH_ROWS="1,3" limits to a subset (1-based row ids above);
+WDT_PROBE_TIMEOUT bounds the handshake wait, WDT_ROW_TIMEOUT the
+measurement (handshake excluded).
 """
 
 from __future__ import annotations
@@ -295,39 +307,40 @@ ROWS = {
 }
 
 
-def _probe_backend(deadline: float) -> bool:
-    """One tiny dispatch in a killable subprocess: turns a dead/hung TPU
-    tunnel into an explicit error instead of an unbounded hang (VERDICT r4
-    Next #1c — round 4 lost its entire perf record to exactly that)."""
-    import subprocess
-    import sys
+def _child_handshake() -> None:
+    """Row-child prologue: pay the per-process backend handshake (device
+    claim + first remote-compile round trip — minutes on a congested axon
+    tunnel, measured 300-600 s while the warm path runs 20 ms), signal
+    READY, and block until the parent's go-file appears. Lets the parent
+    overlap every row's handshake while still measuring rows one at a time
+    on an otherwise-idle device."""
+    x = jnp.ones((8, 8))
+    np.asarray(x @ x)  # claim + first compile: the slow leg
+    with open(os.environ["WDT_READY_FILE"], "w") as f:
+        f.write("ok")
+    go = os.environ["WDT_GO_FILE"]
+    while not os.path.exists(go):
+        time.sleep(0.05)
 
-    code = (
-        "import os, jax;"
-        "os.environ.get('WDT_FORCE_CPU') == '1' and "
-        "jax.config.update('jax_platforms', 'cpu');"
-        "import numpy as np, jax.numpy as jnp;"
-        "x = jnp.ones((8, 8));"
-        "print('WDT_PROBE_OK', float(np.asarray(x @ x)[0, 0]))"
-    )
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=deadline,
-        )
-    except subprocess.TimeoutExpired:
-        return False
-    return "WDT_PROBE_OK" in out.stdout
+
+def _failed_row(rid: int, why: str) -> dict:
+    return {
+        "metric": f"row {rid} FAILED ({why})",
+        "value": 0.0, "unit": "x realtime", "vs_baseline": 0.0,
+    }
 
 
 def main() -> None:
     want = os.environ.get("WDT_BENCH_ROWS", "1,2,3,4,5")
     ids = [int(s) for s in want.split(",") if s.strip()]
     if len(ids) == 1:
+        rid = ids[0]
+        if os.environ.get("WDT_GO_FILE"):
+            _child_handshake()
         hang = os.environ.get("WDT_SIMULATE_HANG_ROW", "")
-        if str(ids[0]) in [s.strip() for s in hang.split(",") if s.strip()]:
+        if str(rid) in [s.strip() for s in hang.split(",") if s.strip()]:
             time.sleep(1e9)  # test hook: a hung row for the timeout path
-        spec = ROWS[ids[0]]
+        spec = ROWS[rid]
         # WDT_BENCH_MODEL_OVERRIDE=tiny: CPU smoke runs of the orchestration
         over = os.environ.get("WDT_BENCH_MODEL_OVERRIDE")
         if spec == "engine":
@@ -336,56 +349,129 @@ def main() -> None:
             row = bench_config(**({**spec, "model": over} if over else spec))
         print(json.dumps({**row, "rows": [row]}))
         return
-    # one subprocess per row: a fresh backend per config — rows measured
-    # back-to-back in one process read ~20% low (HBM fragmentation after
-    # the large-v3 rows / leftover executables)
-    import subprocess
-    import sys
 
     # Driver-proofing (VERDICT r4 Next #1): the round-4 BENCH record was
     # rc=124/empty because one hung row consumed the whole driver budget and
-    # nothing was printed until all rows finished. Now: (a) a short-deadline
-    # backend probe fails fast on a dead tunnel; (b) every row has its own
-    # timeout and expiry yields a FAILED row, not a hang; (c) each row's JSON
-    # line is printed (flushed) the moment it completes, so a driver kill
-    # still leaves a parseable tail.
-    row_timeout = float(os.environ.get("WDT_ROW_TIMEOUT", "420"))
-    probe_deadline = float(os.environ.get("WDT_PROBE_TIMEOUT", "150"))
-    attempts = int(os.environ.get("WDT_PROBE_ATTEMPTS", "2"))
-    if not any(_probe_backend(probe_deadline) for _ in range(attempts)):
-        err = {
-            "metric": "BACKEND DEAD (probe dispatch timed out)",
-            "value": 0.0, "unit": "x realtime", "vs_baseline": 0.0,
-        }
-        print(json.dumps({**err, "rows": [err]}), flush=True)
-        return
+    # nothing was printed until all rows finished. Now: (a) the first row's
+    # handshake is the dead-backend probe; (b) every row has its own timeout
+    # (measurement only — the handshake happened concurrently up front) and
+    # expiry yields a FAILED row, not a hang; (c) a cumulative aggregate is
+    # printed (flushed) the moment each row completes, so a driver kill
+    # still leaves a parseable tail with every finished row.
+    #
+    # One subprocess per row: a fresh backend per config — rows measured
+    # back-to-back in one process read ~20% low (HBM fragmentation after
+    # the large-v3 rows / leftover executables).
+    import shutil
+    import subprocess
+    import sys
+    import tempfile
 
-    rows = []
+    row_timeout = float(os.environ.get("WDT_ROW_TIMEOUT", "600"))
+    ready_deadline = float(os.environ.get("WDT_PROBE_TIMEOUT", "900"))
+
+    td = tempfile.mkdtemp(prefix="wdt_bench_drv_")
+    children = []
     for rid in ids:
-        env = dict(os.environ, WDT_BENCH_ROWS=str(rid))
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                capture_output=True, text=True, env=env, timeout=row_timeout,
-            )
-            line = (out.stdout.strip().splitlines()[-1]
-                    if out.stdout.strip() else "")
-            row = {k: v for k, v in json.loads(line).items() if k != "rows"}
-        except subprocess.TimeoutExpired:
-            row = {
-                "metric": f"row {rid} FAILED (timeout {row_timeout:.0f}s)",
-                "value": 0.0, "unit": "x realtime", "vs_baseline": 0.0,
-            }
-        except (ValueError, IndexError):
-            sys.stderr.write(out.stderr[-2000:] + "\n")
-            row = {
-                "metric": f"row {rid} FAILED",
-                "value": 0.0, "unit": "x realtime", "vs_baseline": 0.0,
-            }
-        rows.append(row)
-        print(json.dumps(row), flush=True)  # incremental: survives a kill
-    head = rows[0]
-    print(json.dumps({**head, "rows": rows}), flush=True)
+        paths = {
+            "go": os.path.join(td, f"go_{rid}"),
+            "ready": os.path.join(td, f"ready_{rid}"),
+            "out": os.path.join(td, f"out_{rid}"),
+            "err": os.path.join(td, f"err_{rid}"),
+        }
+        env = dict(
+            os.environ, WDT_BENCH_ROWS=str(rid),
+            WDT_GO_FILE=paths["go"], WDT_READY_FILE=paths["ready"],
+        )
+        outf = open(paths["out"], "w")
+        errf = open(paths["err"], "w")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=outf, stderr=errf, env=env,
+        )
+        outf.close()
+        errf.close()
+        children.append((rid, proc, paths))
+
+    # Rows are measured in handshake-COMPLETION order, not request order:
+    # the axon claim leg serializes server-side, so the fastest-claimed row
+    # measures while the others keep queueing. `ready_deadline` bounds
+    # NO-PROGRESS time (no pending child going ready while the device is
+    # otherwise idle), not total run time. Output rows are re-sorted into
+    # request order for the aggregate.
+    rows_by_rid: dict = {}
+
+    def emit_cumulative() -> None:
+        # the driver parses the LAST stdout line, so a mid-run kill still
+        # yields a headline metric plus every row measured so far
+        done = [rows_by_rid[r] for r in ids if r in rows_by_rid]
+        print(json.dumps({**done[0], "rows": done}), flush=True)
+
+    pending = {rid: (proc, paths) for rid, proc, paths in children}
+    any_ready_ever = False
+    try:
+        while pending:
+            chosen = None
+            t0 = time.monotonic()
+            while time.monotonic() - t0 < ready_deadline:
+                for rid, (proc, paths) in pending.items():
+                    if os.path.exists(paths["ready"]):
+                        chosen = (rid, "ready")
+                        break
+                    if proc.poll() is not None:
+                        chosen = (rid, "crashed")
+                        break
+                if chosen:
+                    break
+                time.sleep(0.1)
+            if chosen is None:
+                if not any_ready_ever:
+                    # nothing has ever dispatched: the tunnel is dead, not
+                    # slow — kill the fleet and report explicitly
+                    err = {
+                        "metric": ("BACKEND DEAD (handshake dispatch "
+                                   f"timed out after {ready_deadline:.0f}s)"),
+                        "value": 0.0, "unit": "x realtime",
+                        "vs_baseline": 0.0,
+                    }
+                    print(json.dumps({**err, "rows": [err]}), flush=True)
+                    return
+                for rid, (proc, paths) in pending.items():
+                    proc.kill()
+                    rows_by_rid[rid] = _failed_row(
+                        rid, f"handshake timeout {ready_deadline:.0f}s")
+                emit_cumulative()
+                break
+            rid, status = chosen
+            proc, paths = pending.pop(rid)
+            if status == "crashed":
+                with open(paths["err"]) as f:
+                    sys.stderr.write(f.read()[-2000:] + "\n")
+                row = _failed_row(rid, "crashed during handshake")
+            else:
+                any_ready_ever = True
+                open(paths["go"], "w").close()
+                try:
+                    proc.wait(timeout=row_timeout)
+                    with open(paths["out"]) as f:
+                        text = f.read().strip()
+                    line = text.splitlines()[-1] if text else ""
+                    row = {k: v for k, v in json.loads(line).items()
+                           if k != "rows"}
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    row = _failed_row(rid, f"timeout {row_timeout:.0f}s")
+                except (ValueError, IndexError):
+                    with open(paths["err"]) as f:
+                        sys.stderr.write(f.read()[-2000:] + "\n")
+                    row = _failed_row(rid, "no parseable output")
+            rows_by_rid[rid] = row
+            emit_cumulative()
+    finally:
+        for _, proc, _ in children:
+            if proc.poll() is None:
+                proc.kill()
+        shutil.rmtree(td, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -37,9 +37,9 @@ def _run(env_extra: dict, timeout: float = 300.0):
 
 
 def test_hung_rows_yield_failed_rows_and_parseable_tail():
-    # both rows "hang" (test hook) with a short per-row timeout: the run
-    # must finish quickly, mark each row FAILED, and still print one JSON
-    # line per row plus the aggregate
+    # both rows "hang" (test hook, after the handshake/go) with a short
+    # per-row timeout: the run must finish quickly, mark each row FAILED,
+    # and print a cumulative aggregate line per row
     out = _run({
         "WDT_BENCH_ROWS": "1,2",
         "WDT_SIMULATE_HANG_ROW": "1,2",
@@ -47,17 +47,20 @@ def test_hung_rows_yield_failed_rows_and_parseable_tail():
     })
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
-    assert len(lines) == 3  # row 1, row 2, aggregate — incremental emission
-    rows = [json.loads(ln) for ln in lines]
-    assert "FAILED" in rows[0]["metric"] and "timeout" in rows[0]["metric"]
-    assert "FAILED" in rows[1]["metric"]
-    assert len(rows[2]["rows"]) == 2
-    # every line parseable on its own: a driver kill after line 1 would
-    # still have captured a valid record
-    assert rows[0]["value"] == 0.0 and rows[0]["vs_baseline"] == 0.0
+    assert len(lines) == 2  # one cumulative aggregate per completed row
+    aggs = [json.loads(ln) for ln in lines]
+    # every line parseable on its own with a rows array: a driver kill
+    # after line 1 would still have captured a valid record
+    assert len(aggs[0]["rows"]) == 1 and len(aggs[1]["rows"]) == 2
+    for row in aggs[1]["rows"]:
+        assert "FAILED" in row["metric"] and "timeout" in row["metric"]
+        assert row["value"] == 0.0 and row["vs_baseline"] == 0.0
+    assert "FAILED" in aggs[1]["metric"]  # headline mirrors rows[0]
 
 
 def test_dead_backend_probe_reports_error_row():
+    # the first row's handshake doubles as the probe: a deadline no child
+    # can meet must report BACKEND DEAD instead of hanging
     out = _run({
         "WDT_BENCH_ROWS": "1,2",
         "WDT_PROBE_TIMEOUT": "0.02",

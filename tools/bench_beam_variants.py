@@ -62,18 +62,21 @@ def main() -> None:
     model = sys.argv[1] if len(sys.argv) > 1 else "large-v3"
     part = os.environ.get("WDT_PART")
     if part is None:
-        import subprocess
+        from prewarm import run_parts
 
-        for p in PARTS:
-            env = dict(os.environ, WDT_PART=p)
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), model],
-                capture_output=True, text=True, env=env,
-            )
-            line = out.stdout.strip().splitlines()
-            print(line[-1] if line else f"{p}: FAILED\n{out.stderr[-600:]}",
+        def cmd_env(p):
+            return ([sys.executable, os.path.abspath(__file__), model],
+                    {"WDT_PART": p})
+
+        for p, out, err in run_parts(cmd_env, PARTS):
+            line = out.strip().splitlines()
+            print(line[-1] if line else f"{p}: FAILED\n{err[-600:]}",
                   flush=True)
         return
+
+    from prewarm import child_handshake
+
+    child_handshake()
 
     cfg = wm.PRESETS[model]
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
