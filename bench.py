@@ -234,7 +234,18 @@ def bench_engine_path(model: str = "large-v3-turbo", streams: int = 16,
     Random weights end decode after ~2 tokens (instant EOT), which would
     make the row measure nothing — EOT is suppressed through the same
     build_suppress_mask hook the compute rows use, so every window decodes
-    a realistic token budget."""
+    a realistic token budget.
+
+    Mid-range timestamp tokens are suppressed too: random logits otherwise
+    sprinkle timestamp pairs through every segment and the seek loop
+    faithfully advances to the LAST one — measured ~13 windows per 15 s
+    stream (1.5 xRT, pure seek thrash no trained checkpoint exhibits;
+    real decodes end a healthy window at its final timestamp and advance
+    ~30 s). Keeping only <|0.00|> (the grammar force-samples an initial
+    timestamp <= max_initial_timestamp at step 0) and the window-final
+    timestamp preserves the timestamp machinery while making every window
+    advance fully, so the row measures product glue at a realistic
+    windows-per-second rate."""
     import tempfile
 
     # Budgeted for the driver (VERDICT r4 Next #1d): row 5 carries a large
@@ -253,7 +264,11 @@ def bench_engine_path(model: str = "large-v3-turbo", streams: int = 16,
     orig_mask = dec.build_suppress_mask
 
     def patched(sp, n_vocab, extra_suppress=None):
-        return orig_mask(sp, n_vocab, list(extra_suppress or []) + [sp.eot])
+        ts_mid = list(range(sp.timestamp_begin + 1, sp.timestamp_begin + 1500))
+        return orig_mask(
+            sp, n_vocab,
+            list(extra_suppress or []) + [sp.eot] + ts_mid,
+        )
 
     dec.build_suppress_mask = patched
     try:
@@ -367,7 +382,16 @@ def main() -> None:
     import sys
     import tempfile
 
-    row_timeout = float(os.environ.get("WDT_ROW_TIMEOUT", "600"))
+    # row 5 (engine path) compiles the whole product pipeline — engine
+    # greedy + segmentation + CAM++ + mel — and round-5 measurement put it
+    # past the uniform 600 s budget (FAILED at timeout while still emitting
+    # segments); it gets a larger default. WDT_ROW_TIMEOUT overrides all.
+    per_row_default = {5: 1500.0}
+    env_rt = os.environ.get("WDT_ROW_TIMEOUT")
+
+    def row_timeout_for(rid: int) -> float:
+        return float(env_rt) if env_rt else per_row_default.get(rid, 600.0)
+
     ready_deadline = float(os.environ.get("WDT_PROBE_TIMEOUT", "900"))
 
     td = tempfile.mkdtemp(prefix="wdt_bench_drv_")
@@ -451,6 +475,7 @@ def main() -> None:
             else:
                 any_ready_ever = True
                 open(paths["go"], "w").close()
+                row_timeout = row_timeout_for(rid)
                 try:
                     proc.wait(timeout=row_timeout)
                     with open(paths["out"]) as f:
