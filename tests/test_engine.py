@@ -694,3 +694,34 @@ def test_dtw_device_backtrack_matches_host(snapshot_dir, tmp_path, monkeypatch):
         assert (dv is None) == (hs is None)
         if dv is not None:
             np.testing.assert_allclose(dv, hs, rtol=0, atol=FRAME + 1e-9)
+
+
+def test_engine_caches_model_and_step_across_calls(
+    snapshot_dir, tmp_path, wav_path, monkeypatch
+):
+    """The Engine must keep one loaded model + compiled TranscribeStep
+    alive across transcribe calls (the reference holds one whisper.cpp
+    context, `engine.rs:65`): round-5 profiling of the engine-path bench
+    showed every 'steady-state' call re-initializing and re-uploading the
+    full checkpoint (63 s/call) and re-jitting the step."""
+    from whisper_diarize_tpu.models import weights as wmod
+
+    loads = {"n": 0}
+    orig = wmod.load_model
+
+    def counting_load(*a, **k):
+        loads["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(wmod, "load_model", counting_load)
+    eng = make_engine(snapshot_dir, tmp_path)
+    opts = TranscribeOptions(enable_vad=False, lang="en")
+    eng.transcribe_audio(wav_path, opts)
+    steps1 = dict(eng._step_cache)
+    eng.transcribe_audio(wav_path, opts)
+    assert loads["n"] == 1  # second call reused the cached model
+    assert len(steps1) == 1
+    # same TranscribeStep object (same jit caches) on the second call
+    assert list(eng._step_cache.values())[0] is list(steps1.values())[0]
+    # a different model path would miss — key includes the resolved path
+    assert list(eng._whisper_cache.keys())[0][0] == snapshot_dir

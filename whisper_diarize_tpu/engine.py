@@ -236,6 +236,11 @@ class Engine:
                 "kernels are enabled by default"
             )
         self.models = ModelManager(self.cfg.cache_dir)
+        # loaded-model + compiled-step reuse across transcribe calls (the
+        # reference's Engine keeps one whisper.cpp context alive); both are
+        # single-model caches — see _load_whisper
+        self._whisper_cache: dict = {}
+        self._step_cache: dict = {}
 
     # ------------------------------------------------------------------
     def _resolve_dtype(self):
@@ -250,7 +255,35 @@ class Engine:
             return jnp.float32
         return jnp.bfloat16 if jax.default_backend() in ("tpu",) else jnp.float32
 
+    def _whisper_key(self, options: TranscribeOptions) -> tuple:
+        return (
+            self.cfg.whisper_model_path or "",
+            options.model,
+            str(self._resolve_dtype()),
+        )
+
     def _load_whisper(self, options: TranscribeOptions, progress, is_cancelled):
+        """Load the whisper checkpoint once per Engine and reuse it across
+        transcribe calls (the reference keeps one whisper.cpp context alive
+        in the Engine, `engine.rs:65` / `transcribe.rs:115` — re-creating it
+        per call would re-read and re-upload GBs of weights; profiling the
+        engine-path bench round 5 showed exactly that: 63 s of every
+        'steady-state' call was model re-init). Single-entry cache: loading
+        a different model (or dtype) evicts the previous one so HBM holds
+        one checkpoint, like the reference's single context."""
+        key = self._whisper_key(options)
+        hit = self._whisper_cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._load_whisper_uncached(options, progress, is_cancelled)
+        self._whisper_cache.clear()
+        self._step_cache.clear()
+        self._whisper_cache[key] = out
+        return out
+
+    def _load_whisper_uncached(
+        self, options: TranscribeOptions, progress, is_cancelled
+    ):
         """Resolve + load the whisper checkpoint and tokenizer.
 
         Accepts an HF/native snapshot DIRECTORY, an OpenAI `.pt` file, or a
@@ -316,9 +349,25 @@ class Engine:
         return params, cfg, tokenizer
 
     def _make_step(self, params, cfg, tokenizer, options: TranscribeOptions):
+        """Build (or reuse) the TranscribeStep for these options.
+
+        A TranscribeStep owns fresh `jax.jit` wrappers — rebuilding it per
+        transcribe call discards every compiled executable and re-enters
+        the (remote, on this box) compiler on the next dispatch. Cached on
+        the option fields the step's construction actually reads; the cache
+        is cleared whenever the model cache rolls over."""
         from .transcribe import TranscribeStep
 
         adv = options.advanced
+        step_key = self._whisper_key(options) + (
+            adv.best_of_or_beam_size if adv else None,
+            adv.sampling_strategy if adv else None,
+            adv.temperature if adv else None,
+            adv.max_text_ctx if adv else None,
+        )
+        hit = self._step_cache.get(step_key)
+        if hit is not None:
+            return hit
         beam = max((adv.best_of_or_beam_size if adv else None) or 5, 1)
         strategy = (
             "greedy"
@@ -380,7 +429,7 @@ class Engine:
                     "greedy strategy, temperature 0 and no mesh "
                     "(strategy=%s, temperature=%s, mesh=%s) — ignoring",
                     strategy, temperature, self.cfg.mesh_shape)
-        return TranscribeStep(
+        step = TranscribeStep(
             params, cfg, tokenizer,
             model_name=options.model,
             enable_dtw=bool(self.cfg.enable_dtw),
@@ -392,6 +441,8 @@ class Engine:
             draft=draft,
             spec_gamma=self.cfg.speculative_gamma,
         )
+        self._step_cache[step_key] = step
+        return step
 
     def _load_draft(self, target_cfg):
         """Load (and memoize) the speculative draft model; None when the
