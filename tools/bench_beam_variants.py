@@ -122,15 +122,21 @@ def main() -> None:
         jnp.float32)  # [1, Tp] — no row_pad in this bench
     row_pad_b = jnp.zeros((B,), jnp.int32)
 
-    def qkv_layers(x, dk, dv, step, with_self, with_tail, use_kernel,
-                   anc_j=None):
-        """One decode step over all layers, component-gated."""
+    def qkv_layers(p, crossd, pk, pv, x, dk, dv, step, with_self, with_tail,
+                   use_kernel, anc_j=None):
+        """One decode step over all layers, component-gated.
+
+        `p`/`crossd`/`pk`/`pv` arrive as jit ARGUMENTS of the caller —
+        closing over them captures ~7 GB of weights/caches as lowered
+        constants, and the remote-compile POST of that HLO dies with a
+        broken pipe (round-5 finding: every layer part failed that way)."""
+        decoder_ = p["decoder"]
         cross_fn, cross_select, _ = wm._cross_attend_factory(
-            cfg, cross, K, dtype, 1, mesh=None)
+            cfg, crossd, K, dtype, 1, mesh=None)
         dmask = jnp.where(jnp.arange(Td) <= step, 0.0, -jnp.inf).astype(
             jnp.float32)
         for l in range(L):
-            blk = jax.tree.map(lambda a: a[l], decoder["blocks"])
+            blk = jax.tree.map(lambda a: a[l], decoder_["blocks"])
             q, k_new, v_new = wm._decoder_qkv(x, blk, H)
             dk = jax.lax.dynamic_update_slice(
                 dk, k_new[None], (l, 0, 0, step, 0))
@@ -142,14 +148,14 @@ def main() -> None:
 
                 self_out = split_self_attn_layer(
                     jnp.int32(l), q.reshape(B, K, H, Dh),
-                    cache["pk"], cache["pv"], dk, dv, anc_j, step,
+                    pk, pv, dk, dv, anc_j, step,
                     row_pad_b, P,
                 ).reshape(N, H, 1, Dh)
             elif with_self:
                 scale = Dh ** -0.25
                 qb = (q * scale).reshape(B, K, H, Dh)
                 sp_ = jnp.einsum(
-                    "bkhd,bhtd->bkht", qb, cache["pk"][l] * scale,
+                    "bkhd,bhtd->bkht", qb, pk[l] * scale,
                     preferred_element_type=jnp.float32,
                 ) + pmask[:, None, None, :]
                 sd = jnp.einsum(
@@ -160,7 +166,7 @@ def main() -> None:
                     jnp.concatenate([sp_, sd], axis=-1), axis=-1)
                 wp = w[..., :Tp].astype(dtype)
                 wd = w[..., Tp:].astype(dtype).reshape(N, H, 1, Td)
-                op = jnp.einsum("bkht,bhtd->bkhd", wp, cache["pv"][l],
+                op = jnp.einsum("bkht,bhtd->bkhd", wp, pv[l],
                                 preferred_element_type=jnp.float32)
                 od = jnp.einsum("nhqt,nhtd->nhqd", wd, dv[l],
                                 preferred_element_type=jnp.float32)
@@ -168,7 +174,7 @@ def main() -> None:
             else:
                 self_out = q  # stand-in with the right shape
             if with_tail == "kern":
-                x = wm._fused_tail_call(decoder, cross, l, x, self_out, K,
+                x = wm._fused_tail_call(decoder_, crossd, l, x, self_out, K,
                                         cfg)
             elif with_tail == "xla":
                 ck, cv = cross_select(l)
@@ -195,19 +201,20 @@ def main() -> None:
 
     @functools.partial(jax.jit, static_argnames=("budget",),
                        donate_argnums=(1, 2))
-    def loop(p, dk, dv, budget):
+    def loop(p, dk, dv, pk, pv, crossd, anc_j, budget):
+        decoder_ = p["decoder"]
         tok0 = jnp.full((N, 1), 100, jnp.int32)
 
         def body(s):
             step, dk, dv, acc = s
-            x = decoder["tok_emb"][tok0] + decoder["pos_emb"][
+            x = decoder_["tok_emb"][tok0] + decoder_["pos_emb"][
                 P + step][None, None].astype(dtype)
             if spec.get("layers", True):
                 x, dk, dv = qkv_layers(
-                    x, dk, dv, step, spec["with_self"], spec["with_tail"],
-                    spec["use_kernel"], anc_j=anc_j0)
-            xn = wm._ln(x, decoder["ln_s"], decoder["ln_b"])
-            logits = jnp.einsum("bsd,vd->bsv", xn, decoder["tok_emb"],
+                    p, crossd, pk, pv, x, dk, dv, step, spec["with_self"],
+                    spec["with_tail"], spec["use_kernel"], anc_j=anc_j)
+            xn = wm._ln(x, decoder_["ln_s"], decoder_["ln_b"])
+            logits = jnp.einsum("bsd,vd->bsv", xn, decoder_["tok_emb"],
                                 preferred_element_type=jnp.float32)
             return step + 1, dk, dv, acc + logits[:, 0, 0]
 
@@ -219,7 +226,8 @@ def main() -> None:
     def run(budget):
         dk = jnp.zeros_like(cache["dk"])
         dv = jnp.zeros_like(cache["dv"])
-        return loop(params, dk, dv, budget)[2]
+        return loop(params, dk, dv, cache["pk"], cache["pv"], cross,
+                    anc_j0, budget)[2]
 
     t64, sl = slope(lambda: run(32), lambda: run(64))
     print(f"{part:8s} {t64*1e3:8.1f} ms  ({sl*1e3:6.3f} ms/step slope)")

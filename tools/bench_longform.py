@@ -12,10 +12,12 @@ Run on the TPU:   python tools/bench_longform.py [--minutes 60] [--beam 5]
 CPU smoke:        WDT_FORCE_CPU=1 python tools/bench_longform.py --minutes 4 \
                       --model tiny --max-tokens 8
 
-Random weights would EOT instantly, so EOT is suppressed like bench.py rows;
-timestamps are NOT suppressed, so the seek path sees the model's own
-(random) timestamp choices — the scheduler's >=1 s progress guarantee bounds
-the window count.
+Random weights would EOT instantly, so EOT is suppressed like bench.py rows.
+Mid-range timestamps are suppressed the same way bench.py's engine row does
+(random timestamps otherwise drive pathological 1-15 s partial seeks — a
+trained checkpoint advances a healthy window fully) and the temperature
+fallback ladder is disabled (random avg logprob trips it on EVERY window);
+`--random-seek` restores the old behavior to stress the seek guard itself.
 """
 
 from __future__ import annotations
@@ -47,6 +49,9 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-seek", action="store_true",
                    help="fixed 30 s strides instead of decode-driven seek")
+    p.add_argument("--random-seek", action="store_true",
+                   help="keep random timestamps (pathological partial "
+                        "seeks) and the temperature-fallback ladder")
     args = p.parse_args(argv)
 
     from whisper_diarize_tpu.audio import write_wav
@@ -58,7 +63,13 @@ def main(argv=None) -> int:
     orig_mask = dec.build_suppress_mask
 
     def patched(sp, n_vocab, extra_suppress=None):
-        return orig_mask(sp, n_vocab, list(extra_suppress or []) + [sp.eot])
+        extra = list(extra_suppress or []) + [sp.eot]
+        if not args.random_seek:
+            # keep only <|0.00|> (grammar-forced at step 0) and the
+            # window-final timestamp so every full window advances fully
+            extra += list(
+                range(sp.timestamp_begin + 1, sp.timestamp_begin + 1500))
+        return orig_mask(sp, n_vocab, extra)
 
     dec.build_suppress_mask = patched
     try:
@@ -74,6 +85,7 @@ def main(argv=None) -> int:
             enable_dtw=True,
             batch_size=8,
             max_decode_tokens=args.max_tokens,
+            temperature_fallback=bool(args.random_seek),
             allow_random_weights=True,
             sequential_prompt=True,   # reference-parity rolling prompt
             long_form_seek=not args.no_seek,

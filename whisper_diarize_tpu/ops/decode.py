@@ -41,6 +41,14 @@ NEG_INF = float("-inf")
 
 
 def _resolve_pallas_split(dc: "DecodeConfig") -> bool:
+    """Fused split-self-attention kernel for beam steps: explicit knob wins,
+    else follow pallas_cross. WDT_DISABLE_PALLAS_SPLIT=1 opts out (row-level
+    A/B lever — the round-5 isolated harness read the kernel SLOWER than
+    the XLA ancestry-deref path at small Td, see tools/bench_beam_variants)."""
+    import os
+
+    if os.environ.get("WDT_DISABLE_PALLAS_SPLIT") == "1":
+        return False
     return dc.pallas_cross if dc.pallas_split is None else dc.pallas_split
 
 
