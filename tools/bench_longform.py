@@ -52,6 +52,10 @@ def main(argv=None) -> int:
     p.add_argument("--random-seek", action="store_true",
                    help="keep random timestamps (pathological partial "
                         "seeks) and the temperature-fallback ladder")
+    p.add_argument("--warmup-minutes", type=float, default=2.0,
+                   help="transcribe a short throwaway stream first so "
+                        "compile time stays out of the measurement "
+                        "(0 disables)")
     args = p.parse_args(argv)
 
     from whisper_diarize_tpu.audio import write_wav
@@ -105,6 +109,17 @@ def main(argv=None) -> int:
         cb = Callbacks(
             new_segment_callback=lambda s: seg_walls.append(
                 time.perf_counter()))
+
+        if args.warmup_minutes > 0:
+            # compile everything (model load is cached in the Engine, and
+            # a short stream hits the same window/prompt buckets) so the
+            # measured run is steady-state, like bench.py's rows
+            wwav = os.path.join(td, "warm.wav")
+            write_wav(wwav, (rng.standard_normal(
+                int(16000 * 60 * args.warmup_minutes)) * 6000
+            ).astype(np.int16))
+            eng.transcribe_audio(wwav, opts)
+            seg_walls.clear()
 
         t0 = time.perf_counter()
         cues = eng.transcribe_audio(wav, opts, callbacks=cb)
