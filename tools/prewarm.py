@@ -49,8 +49,8 @@ def run_parts(
     cmd_env_for: Callable[[str], Tuple[Sequence[str], dict]],
     parts: Iterable[str],
     *,
-    ready_deadline: float = 900.0,
-    part_timeout: float = 600.0,
+    ready_deadline: float = 1200.0,
+    part_timeout: float = 900.0,
 ) -> Iterator[Tuple[str, str, str]]:
     """Yield (part, stdout, stderr) per part, measured serially but with all
     handshakes overlapped. `cmd_env_for(part)` returns (argv, extra_env)."""
